@@ -1,0 +1,138 @@
+"""STFT primitives, designed TPU-first.
+
+The reference computes its linear spectrogram with ``torch.stft`` forced onto
+the CPU (reference: distilcodec/models/mel_spec.py:26-57, the ``y = y.cpu()``
+quirk at :39).  Here the whole front-end is expressed as framing + one big
+matmul against a window-folded DFT basis, which XLA tiles straight onto the
+MXU — no FFT butterflies, no host round-trip.  For n_fft=1024 the basis is a
+(1024, 1026) fp32 matrix (~4 MB) that lives in HBM next to the weights and
+streams through VMEM once per call.
+
+Numerics match ``torch.stft(center=False, onesided=True, hann)`` to fp32
+round-off (golden-tested against torch in tests/test_mel.py).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def hann_window(win_length: int, dtype=np.float32) -> np.ndarray:
+    """Periodic Hann window, identical to ``torch.hann_window(win_length)``."""
+    n = np.arange(win_length, dtype=np.float64)
+    return (0.5 - 0.5 * np.cos(2.0 * np.pi * n / win_length)).astype(dtype)
+
+
+@functools.lru_cache(maxsize=None)
+def _dft_basis(n_fft: int, win_length: int) -> np.ndarray:
+    """Window-folded real-DFT basis.
+
+    Returns a (win_length, 2*(n_fft//2+1)) matrix ``B`` such that for a frame
+    ``f`` (length win_length), ``f @ B`` = [Re(X_0..X_F), Im(X_0..X_F)] of the
+    one-sided DFT of the windowed frame, matching torch.stft's convention
+    (negative sign in the exponent).
+    """
+    assert win_length <= n_fft
+    n_freqs = n_fft // 2 + 1
+    window = hann_window(win_length, dtype=np.float64)
+    # torch.stft centers a short window inside n_fft; here win_length == n_fft
+    # in all reference configs, but support the general case by zero-padding
+    # the window placement the way torch does (centered).
+    pad_left = (n_fft - win_length) // 2
+    n = np.arange(n_fft, dtype=np.float64)
+    k = np.arange(n_freqs, dtype=np.float64)
+    ang = -2.0 * np.pi * np.outer(n, k) / n_fft  # (n_fft, n_freqs)
+    basis = np.concatenate([np.cos(ang), np.sin(ang)], axis=1)  # (n_fft, 2F)
+    # fold window + centering: row i of the effective basis is
+    # window[i] * basis[pad_left + i]
+    eff = window[:, None] * basis[pad_left : pad_left + win_length]
+    return eff.astype(np.float32)
+
+
+def frame_signal(y: jnp.ndarray, frame_length: int, hop: int) -> jnp.ndarray:
+    """(..., L) -> (..., T, frame_length) with T = 1 + (L - frame_length)//hop.
+
+    Implemented with conv_general_dilated_patches so XLA lowers it to a single
+    strided gather that fuses with the consumer matmul.
+    """
+    batch_shape = y.shape[:-1]
+    length = y.shape[-1]
+    num_frames = 1 + (length - frame_length) // hop
+    x = y.reshape((-1, 1, length))
+    # patches: (N, frame_length, T)
+    patches = jax.lax.conv_general_dilated_patches(
+        x,
+        filter_shape=(frame_length,),
+        window_strides=(hop,),
+        padding="VALID",
+    )
+    patches = jnp.transpose(patches, (0, 2, 1))  # (N, T, frame_length)
+    return patches.reshape(batch_shape + (num_frames, frame_length))
+
+
+def stft_magnitude(
+    y: jnp.ndarray,
+    n_fft: int,
+    hop_length: int,
+    win_length: int,
+    *,
+    eps: float = 1e-6,
+) -> jnp.ndarray:
+    """``sqrt(|STFT|^2 + eps)`` magnitude of (..., L) -> (..., T, n_fft//2+1).
+
+    center=False semantics: the caller is responsible for any padding
+    (the reference reflect-pads with ((win-hop)//2, (win-hop+1)//2) before
+    calling stft; see LinearSpectrogram, mel_spec.py:30-37).
+    """
+    n_freqs = n_fft // 2 + 1
+    basis = jnp.asarray(_dft_basis(n_fft, win_length))
+    frames = frame_signal(y.astype(jnp.float32), win_length, hop_length)
+    spec = jnp.einsum(
+        "...tw,wf->...tf",
+        frames,
+        basis,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    re, im = spec[..., :n_freqs], spec[..., n_freqs:]
+    return jnp.sqrt(re * re + im * im + eps)
+
+
+def stft_complex(
+    y: jnp.ndarray,
+    n_fft: int,
+    hop_length: int,
+    win_length: int,
+    *,
+    normalized: bool = False,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Real/imag one-sided STFT (center=False). Used by the MS-STFT
+    discriminator (reference: distilcodec/models/msstftd.py:153-161, which uses
+    torchaudio Spectrogram(power=None, normalized=True, center=False))."""
+    n_freqs = n_fft // 2 + 1
+    basis = np.asarray(_dft_basis(n_fft, win_length))
+    if normalized:
+        # torchaudio "window" normalization: divide by sqrt(sum(win^2))
+        win = hann_window(win_length, np.float64)
+        basis = (basis / np.sqrt((win**2).sum())).astype(np.float32)
+    frames = frame_signal(y.astype(jnp.float32), win_length, hop_length)
+    spec = jnp.einsum(
+        "...tw,wf->...tf",
+        frames,
+        jnp.asarray(basis),
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    re, im = spec[..., :n_freqs], spec[..., n_freqs:]
+    return re, im
+
+
+def reflect_pad_for_stft(y: jnp.ndarray, win_length: int, hop_length: int) -> jnp.ndarray:
+    """The reference's asymmetric reflect pad before STFT
+    (mel_spec.py:30-37): left (win-hop)//2, right (win-hop+1)//2."""
+    left = (win_length - hop_length) // 2
+    right = (win_length - hop_length + 1) // 2
+    pad = [(0, 0)] * (y.ndim - 1) + [(left, right)]
+    return jnp.pad(y, pad, mode="reflect")
