@@ -1,0 +1,268 @@
+"""Shared neural blocks, TPU-first.
+
+Everything runs in channels-last ``(B, T, C)`` layout: C ∈ {128, 256, ...,
+1024} maps onto the 128-wide TPU lane dimension, so LayerNorm/MLP/conv all tile
+cleanly onto the VPU/MXU without relayouts.  (The reference is channels-first
+torch, distilcodec/models/convnext_utils.py — behavior is matched, layout is
+not.)
+
+Weight normalization is stored explicitly as (g, v) parameter pairs computing
+``w = g * v / ||v||`` (the decomposition torch's ``weight_norm`` uses,
+reference: distilcodec/models/generators.py:50, convnext_utils.py:36), so
+reference checkpoints map 1:1 and ``fold_weight_norm`` can strip it for
+inference.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+_trunc02 = nn.initializers.truncated_normal(stddev=0.02)
+_normal001 = nn.initializers.normal(stddev=0.01)
+
+
+def get_padding(kernel_size: int, dilation: int = 1) -> int:
+    """'same' padding for odd kernels (reference: convnext_utils.py:26-27)."""
+    return (kernel_size * dilation - dilation) // 2
+
+
+class LayerNorm(nn.Module):
+    """LayerNorm over the channel (last) axis with eps=1e-6.
+
+    Covers both of the reference's data formats (convnext_utils.py:186-213):
+    in channels-last layout, "channels_first" LN over dim 1 and F.layer_norm
+    over the last dim are the same computation.
+    """
+
+    eps: float = 1e-6
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        dim = x.shape[-1]
+        w = self.param("scale", nn.initializers.ones, (dim,), jnp.float32)
+        b = self.param("bias", nn.initializers.zeros, (dim,), jnp.float32)
+        xf = x.astype(jnp.float32)
+        mean = jnp.mean(xf, axis=-1, keepdims=True)
+        var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
+        y = (xf - mean) * jax.lax.rsqrt(var + self.eps)
+        return (y * w + b).astype(x.dtype)
+
+
+def drop_path(
+    x: jnp.ndarray, rate: float, rng: jax.Array, scale_by_keep: bool = True
+) -> jnp.ndarray:
+    """Stochastic depth per sample (reference: convnext_utils.py:146-168)."""
+    if rate == 0.0:
+        return x
+    keep = 1.0 - rate
+    shape = (x.shape[0],) + (1,) * (x.ndim - 1)
+    mask = jax.random.bernoulli(rng, keep, shape).astype(x.dtype)
+    if scale_by_keep:
+        mask = mask / keep
+    return x * mask
+
+
+class Conv1d(nn.Module):
+    """1-D convolution over (B, T, C_in) -> (B, T', C_out), torch semantics.
+
+    ``padding`` is symmetric sample-count padding like torch Conv1d.
+    Optional weight norm stores params (v, g) with g per output channel
+    (torch weight_norm dim=0 over an (out, in, k) tensor).
+    """
+
+    features: int
+    kernel_size: int
+    stride: int = 1
+    padding: int = 0
+    dilation: int = 1
+    groups: int = 1
+    use_bias: bool = True
+    use_weight_norm: bool = False
+    kernel_init: nn.initializers.Initializer = _trunc02
+    dtype: jnp.dtype | None = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        in_ch = x.shape[-1]
+        kshape = (self.kernel_size, in_ch // self.groups, self.features)
+        if self.use_weight_norm:
+            v = self.param("v", self.kernel_init, kshape, jnp.float32)
+            g = self.param(
+                "g",
+                lambda _key, _shape: jnp.sqrt(jnp.sum(jnp.square(v), axis=(0, 1))),
+                (self.features,),
+            )
+            norm = jnp.sqrt(jnp.sum(jnp.square(v), axis=(0, 1), keepdims=True))
+            kernel = v * (g[None, None, :] / norm)
+        else:
+            kernel = self.param("kernel", self.kernel_init, kshape, jnp.float32)
+        dtype = self.dtype or x.dtype
+        y = jax.lax.conv_general_dilated(
+            x.astype(dtype),
+            kernel.astype(dtype),
+            window_strides=(self.stride,),
+            padding=[(self.padding, self.padding)],
+            rhs_dilation=(self.dilation,),
+            dimension_numbers=("NHC", "HIO", "NHC"),
+            feature_group_count=self.groups,
+            preferred_element_type=jnp.float32,
+        )
+        if self.use_bias:
+            b = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
+            y = y + b
+        return y.astype(dtype)
+
+
+class ConvTranspose1d(nn.Module):
+    """Transposed 1-D convolution with torch ConvTranspose1d semantics:
+    ``out_len = (L-1)*stride - 2*padding + kernel_size``.
+
+    Lowered as an input-dilated conv (lhs_dilation=stride) — XLA's native
+    lowering path on TPU.  The kernel parameter ``v`` is stored pre-flipped in
+    conv layout (k, in, out); weight-norm ``g`` is per *input* channel, the
+    axis torch's weight_norm(dim=0) normalizes for an (in, out, k) transposed
+    conv weight (reference: generators.py:69-79).
+    """
+
+    features: int
+    kernel_size: int
+    stride: int
+    padding: int = 0
+    use_bias: bool = True
+    use_weight_norm: bool = False
+    kernel_init: nn.initializers.Initializer = _trunc02
+    dtype: jnp.dtype | None = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        in_ch = x.shape[-1]
+        kshape = (self.kernel_size, in_ch, self.features)
+        if self.use_weight_norm:
+            v = self.param("v", self.kernel_init, kshape, jnp.float32)
+            g = self.param(
+                "g",
+                lambda _key, _shape: jnp.sqrt(jnp.sum(jnp.square(v), axis=(0, 2))),
+                (in_ch,),
+            )
+            norm = jnp.sqrt(jnp.sum(jnp.square(v), axis=(0, 2), keepdims=True))
+            kernel = v * (g[None, :, None] / norm)
+        else:
+            kernel = self.param("kernel", self.kernel_init, kshape, jnp.float32)
+        dtype = self.dtype or x.dtype
+        pad = self.kernel_size - 1 - self.padding
+        y = jax.lax.conv_general_dilated(
+            x.astype(dtype),
+            kernel.astype(dtype),
+            window_strides=(1,),
+            padding=[(pad, pad)],
+            lhs_dilation=(self.stride,),
+            dimension_numbers=("NHC", "HIO", "NHC"),
+            preferred_element_type=jnp.float32,
+        )
+        if self.use_bias:
+            b = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
+            y = y + b
+        return y.astype(dtype)
+
+
+class ConvNeXtBlock(nn.Module):
+    """ConvNeXt block (reference: convnext_utils.py:217-282).
+
+    depthwise conv(k) -> LN -> Linear(4x) -> GELU(exact) -> Linear -> layer
+    scale gamma -> drop path -> residual.  All in (B, T, C).
+    """
+
+    dim: int
+    drop_path_rate: float = 0.0
+    layer_scale_init_value: float = 1e-6
+    mlp_ratio: float = 4.0
+    kernel_size: int = 7
+    dilation: int = 1
+
+    @nn.compact
+    def __call__(
+        self, x: jnp.ndarray, *, training: bool = False, apply_residual: bool = True
+    ) -> jnp.ndarray:
+        inputs = x
+        x = Conv1d(
+            self.dim,
+            self.kernel_size,
+            padding=int(self.dilation * (self.kernel_size - 1) / 2),
+            dilation=self.dilation,
+            groups=self.dim,
+            name="dwconv",
+        )(x)
+        x = LayerNorm(name="norm")(x)
+        x = nn.Dense(
+            int(self.mlp_ratio * self.dim), kernel_init=_trunc02, name="pwconv1"
+        )(x)
+        x = nn.gelu(x, approximate=False)
+        x = nn.Dense(self.dim, kernel_init=_trunc02, name="pwconv2")(x)
+        if self.layer_scale_init_value > 0:
+            gamma = self.param(
+                "gamma",
+                nn.initializers.constant(self.layer_scale_init_value),
+                (self.dim,),
+                jnp.float32,
+            )
+            x = gamma * x
+        if training and self.drop_path_rate > 0.0:
+            x = drop_path(x, self.drop_path_rate, self.make_rng("droppath"))
+        if apply_residual:
+            x = inputs + x
+        return x
+
+
+class ResBlock1(nn.Module):
+    """HiFiGAN residual block, SiLU variant (reference: convnext_utils.py:30-119)."""
+
+    channels: int
+    kernel_size: int = 3
+    dilation: Sequence[int] = (1, 3, 5)
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        for i, d in enumerate(self.dilation):
+            xt = nn.silu(x)
+            xt = Conv1d(
+                self.channels,
+                self.kernel_size,
+                padding=get_padding(self.kernel_size, d),
+                dilation=d,
+                use_weight_norm=True,
+                kernel_init=_normal001,
+                name=f"convs1_{i}",
+            )(xt)
+            xt = nn.silu(xt)
+            xt = Conv1d(
+                self.channels,
+                self.kernel_size,
+                padding=get_padding(self.kernel_size, 1),
+                use_weight_norm=True,
+                kernel_init=_normal001,
+                name=f"convs2_{i}",
+            )(xt)
+            x = xt + x
+        return x
+
+
+class ParallelBlock(nn.Module):
+    """Mean of parallel ResBlock1s (reference: convnext_utils.py:122-142)."""
+
+    channels: int
+    kernel_sizes: Sequence[int] = (3, 7, 11)
+    dilation_sizes: Sequence[Sequence[int]] = ((1, 3, 5), (1, 3, 5), (1, 3, 5))
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        outs = []
+        for i, (k, d) in enumerate(zip(self.kernel_sizes, self.dilation_sizes)):
+            outs.append(
+                ResBlock1(self.channels, k, tuple(d), name=f"blocks_{i}")(x)
+            )
+        return sum(outs) / len(outs)

@@ -1,0 +1,101 @@
+"""HiFiGAN-style decoder (generator).
+
+Behavioral twin of the reference generator (distilcodec/models/generators.py:
+28-155): quantized latent (B, T, 1024) -> waveform (B, 256*T).  Weight-normed
+conv_pre k=13 -> 5 x [SiLU -> ConvTranspose1d upsample (rates 8,4,2,2,2,
+kernels 16,12,4,4,4, channels halving 1024->32) -> ParallelBlock(mean of 3
+ResBlock1, kernels 3/7/11, dilations (1,3,5))] -> SiLU -> conv_post k=13 ->
+tanh.  ``use_template`` noise convs are supported but off in all reference
+configs (model_config.json:74).
+
+Training wraps each ParallelBlock in jax.checkpoint (rematerialization), the
+TPU analog of the reference's torch.utils.checkpoint on resblocks
+(generators.py:132-137).
+"""
+
+from __future__ import annotations
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from ..config import DecoderConfig
+from .blocks import Conv1d, ConvTranspose1d, ParallelBlock, get_padding
+
+
+class HiFiGANGenerator(nn.Module):
+    cfg: DecoderConfig
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jnp.ndarray,
+        template: jnp.ndarray | None = None,
+        *,
+        training: bool = False,
+    ) -> jnp.ndarray:
+        """x: (B, T, num_mels) -> waveform (B, hop_length*T)."""
+        cfg = self.cfg
+        rates = cfg.upsample_rates
+        kernels = cfg.upsample_kernel_sizes
+        init_ch = cfg.upsample_initial_channel
+        assert _prod(rates) == cfg.hop_length
+
+        x = Conv1d(
+            init_ch,
+            cfg.pre_conv_kernel_size,
+            padding=get_padding(cfg.pre_conv_kernel_size),
+            use_weight_norm=True,
+            name="conv_pre",
+        )(x)
+
+        for i, (u, k) in enumerate(zip(rates, kernels)):
+            ch = init_ch // (2 ** (i + 1))
+            x = nn.silu(x)
+            x = ConvTranspose1d(
+                ch,
+                k,
+                stride=u,
+                padding=(k - u) // 2,
+                use_weight_norm=True,
+                name=f"ups_{i}",
+            )(x)
+            if cfg.use_template and template is not None:
+                if i + 1 < len(rates):
+                    stride_f0 = _prod(rates[i + 1 :])
+                    noise = Conv1d(
+                        ch,
+                        stride_f0 * 2,
+                        stride=stride_f0,
+                        padding=stride_f0 // 2,
+                        name=f"noise_convs_{i}",
+                    )(template)
+                else:
+                    noise = Conv1d(ch, 1, name=f"noise_convs_{i}")(template)
+                x = x + noise
+            block = ParallelBlock(
+                ch,
+                cfg.resblock_kernel_sizes,
+                cfg.resblock_dilation_sizes,
+                name=f"resblocks_{i}",
+            )
+            if training:
+                x = nn.remat(lambda mdl, y: mdl(y))(block, x)
+            else:
+                x = block(x)
+
+        x = nn.silu(x)
+        x = Conv1d(
+            1,
+            cfg.post_conv_kernel_size,
+            padding=get_padding(cfg.post_conv_kernel_size),
+            use_weight_norm=True,
+            name="conv_post",
+        )(x)
+        return jnp.tanh(x)[..., 0]
+
+
+def _prod(xs) -> int:
+    out = 1
+    for v in xs:
+        out *= v
+    return out

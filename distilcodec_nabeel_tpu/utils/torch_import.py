@@ -1,0 +1,165 @@
+"""Import reference PyTorch checkpoints into this framework's pytrees.
+
+The reference stores single-file torch pickles ``g_{step:08d}`` holding
+``{'generator','encoder','quantizer'}`` state dicts (reference:
+distilcodec/distil_codec.py:479-484, :90-94).  These converters map those key
+layouts onto our flax parameter trees:
+
+* torch Conv1d weight (out, in, k)          -> flax (k, in, out)
+* torch depthwise Conv1d weight (C, 1, k)   -> flax (k, 1, C)
+* torch Linear weight (out, in)             -> flax kernel (in, out)
+* torch ConvTranspose1d weight (in, out, k) -> flax pre-flipped conv kernel
+  (k, in, out) with kernel reversed along k (we lower transposed conv as an
+  input-dilated conv).
+* weight-norm pairs: both the modern ``parametrizations.weight.original0/1``
+  keys (torch.nn.utils.parametrizations.weight_norm, used by the reference)
+  and legacy ``weight_g``/``weight_v`` are accepted.
+
+Everything is pure numpy — torch is only needed by ``load_torch_checkpoint``.
+"""
+
+from __future__ import annotations
+
+from typing import Mapping
+
+import numpy as np
+
+from ..config import CodecConfig, DecoderConfig, EncoderConfig, QuantizerConfig
+
+
+Array = np.ndarray
+StateDict = Mapping[str, Array]
+
+
+def load_torch_checkpoint(path: str) -> dict:
+    """torch.load a reference ``g_*`` pickle to nested numpy dicts."""
+    import torch
+
+    ckpt = torch.load(path, map_location="cpu", weights_only=True)
+
+    def to_np(obj):
+        if isinstance(obj, dict):
+            return {k: to_np(v) for k, v in obj.items()}
+        if isinstance(obj, torch.Tensor):
+            return obj.detach().cpu().numpy()
+        return obj
+
+    return to_np(ckpt)
+
+
+def _conv_w(w: Array) -> Array:
+    return np.transpose(w, (2, 1, 0)).copy()
+
+
+def _convtr_w(w: Array) -> Array:
+    # (in, out, k) -> flipped (k, in, out)
+    return np.transpose(w[:, :, ::-1], (2, 0, 1)).copy()
+
+
+def _linear_w(w: Array) -> Array:
+    return np.transpose(w, (1, 0)).copy()
+
+
+def _wn_pair(sd: StateDict, prefix: str) -> tuple[Array, Array]:
+    """Return (g, v) torch tensors for a weight-normed module."""
+    p0 = f"{prefix}.parametrizations.weight.original0"
+    if p0 in sd:
+        return sd[p0], sd[f"{prefix}.parametrizations.weight.original1"]
+    return sd[f"{prefix}.weight_g"], sd[f"{prefix}.weight_v"]
+
+
+def _wn_conv(sd: StateDict, prefix: str) -> dict:
+    g, v = _wn_pair(sd, prefix)
+    out = {"g": np.reshape(g, (-1,)).copy(), "v": _conv_w(v)}
+    bias = sd.get(f"{prefix}.bias")
+    if bias is not None:
+        out["bias"] = np.asarray(bias).copy()
+    return out
+
+
+def _wn_convtr(sd: StateDict, prefix: str) -> dict:
+    g, v = _wn_pair(sd, prefix)
+    out = {"g": np.reshape(g, (-1,)).copy(), "v": _convtr_w(v)}
+    bias = sd.get(f"{prefix}.bias")
+    if bias is not None:
+        out["bias"] = np.asarray(bias).copy()
+    return out
+
+
+def _plain_conv(sd: StateDict, prefix: str) -> dict:
+    out = {"kernel": _conv_w(sd[f"{prefix}.weight"])}
+    if f"{prefix}.bias" in sd:
+        out["bias"] = np.asarray(sd[f"{prefix}.bias"]).copy()
+    return out
+
+
+def _plain_convtr(sd: StateDict, prefix: str) -> dict:
+    out = {"kernel": _convtr_w(sd[f"{prefix}.weight"])}
+    if f"{prefix}.bias" in sd:
+        out["bias"] = np.asarray(sd[f"{prefix}.bias"]).copy()
+    return out
+
+
+def _ln(sd: StateDict, prefix: str) -> dict:
+    return {
+        "scale": np.asarray(sd[f"{prefix}.weight"]).copy(),
+        "bias": np.asarray(sd[f"{prefix}.bias"]).copy(),
+    }
+
+
+def _convnext_block(sd: StateDict, prefix: str) -> dict:
+    out = {
+        "dwconv": _plain_conv(sd, f"{prefix}.dwconv"),
+        "norm": _ln(sd, f"{prefix}.norm"),
+        "pwconv1": {
+            "kernel": _linear_w(sd[f"{prefix}.pwconv1.weight"]),
+            "bias": np.asarray(sd[f"{prefix}.pwconv1.bias"]).copy(),
+        },
+        "pwconv2": {
+            "kernel": _linear_w(sd[f"{prefix}.pwconv2.weight"]),
+            "bias": np.asarray(sd[f"{prefix}.pwconv2.bias"]).copy(),
+        },
+    }
+    if f"{prefix}.gamma" in sd:
+        out["gamma"] = np.asarray(sd[f"{prefix}.gamma"]).copy()
+    return out
+
+
+def convert_encoder(sd: StateDict, cfg: EncoderConfig) -> dict:
+    """Reference ConvNeXtEncoder state dict -> flax params
+    (key layout: distilcodec/models/encoders.py:20-61)."""
+    params: dict = {}
+    params["stem_conv"] = _plain_conv(sd, "downsample_layers.0.0")
+    params["stem_norm"] = _ln(sd, "downsample_layers.0.1")
+    for i in range(1, len(cfg.depths)):
+        params[f"expand_norm_{i}"] = _ln(sd, f"downsample_layers.{i}.0")
+        params[f"expand_conv_{i}"] = _plain_conv(sd, f"downsample_layers.{i}.1")
+    for i, depth in enumerate(cfg.depths):
+        for j in range(depth):
+            params[f"stage_{i}_block_{j}"] = _convnext_block(sd, f"stages.{i}.{j}")
+    params["final_norm"] = _ln(sd, "norm")
+    return params
+
+
+def _resblock1(sd: StateDict, prefix: str, n: int = 3) -> dict:
+    out = {}
+    for j in range(n):
+        out[f"convs1_{j}"] = _wn_conv(sd, f"{prefix}.convs1.{j}")
+        out[f"convs2_{j}"] = _wn_conv(sd, f"{prefix}.convs2.{j}")
+    return out
+
+
+def convert_generator(sd: StateDict, cfg: DecoderConfig) -> dict:
+    """Reference HiFiGANGenerator state dict -> flax params
+    (key layout: distilcodec/models/generators.py:50-116)."""
+    params: dict = {"conv_pre": _wn_conv(sd, "conv_pre")}
+    for i in range(len(cfg.upsample_rates)):
+        params[f"ups_{i}"] = _wn_convtr(sd, f"ups.{i}")
+        blocks = {}
+        for b in range(len(cfg.resblock_kernel_sizes)):
+            blocks[f"blocks_{b}"] = _resblock1(sd, f"resblocks.{i}.blocks.{b}")
+        params[f"resblocks_{i}"] = blocks
+        if cfg.use_template:
+            params[f"noise_convs_{i}"] = _plain_conv(sd, f"noise_convs.{i}")
+    params["conv_post"] = _wn_conv(sd, "conv_post")
+    return params
