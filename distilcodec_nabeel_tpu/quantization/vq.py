@@ -1,0 +1,441 @@
+"""Vector quantization core: EMA Euclidean codebook, residual VQ, grouped VQ.
+
+Behavioral twin of the reference's lucidrains-derived stack
+(distilcodec/vector_quantization/utils/vector_quantize_pytorch.py:266-538,
+723-1164 and utils/residual_vq.py:39-356), redesigned functionally for TPU:
+
+* The codebook (``embed``, ``embed_avg``, ``cluster_size``, ``initted``) lives
+  in a flax ``codebook`` variable collection — a pure state pytree threaded
+  through jitted steps, not an in-place torch buffer.
+* The EMA update is expressed as *global* reductions over the token axis;
+  under pjit/GSPMD with the batch sharded along ``data`` XLA inserts the
+  all-reduces automatically (the reference does this with explicit NCCL
+  ``all_reduce`` calls, vector_quantize_pytorch.py:518/:523).
+* The nearest-neighbor search is an fp32 MXU matmul (x·Eᵀ), never downcast —
+  matching the reference's ``@autocast(enabled=False)`` + ``x.float()`` fp32
+  forcing (vector_quantize_pytorch.py:462-473).  The inference path can use a
+  fused Pallas distance+argmin kernel (ops/vq_argmin.py) that never
+  materializes the (N, 32768) distance matrix.
+
+Reference quirk preserved deliberately: the codebook-diversity loss builds its
+distribution as ``softmax(+distance * temperature)`` (mass on *far* codes) —
+see vector_quantize_pytorch.py:1061-1066 where ``distances`` is already the
+negative distance.  We replicate exactly for training parity.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Sequence
+
+import flax.linen as nn
+import flax.struct
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _kaiming_uniform_init(key, shape, dtype=jnp.float32):
+    """torch nn.init.kaiming_uniform_ on an (..., K, D) table: fan_in = D."""
+    fan_in = shape[-1]
+    bound = float(np.sqrt(2.0) * np.sqrt(3.0 / fan_in))
+    return jax.random.uniform(key, shape, dtype, minval=-bound, maxval=bound)
+
+
+def pairwise_distance(
+    x: jnp.ndarray, embed: jnp.ndarray, *, precision=jax.lax.Precision.HIGHEST
+) -> jnp.ndarray:
+    """Euclidean distance matrix ``sqrt(clamp(|x|^2+|e|^2-2xe, 0))``.
+
+    Same formulation as the reference ``cdist``
+    (vector_quantize_pytorch.py:41-45).  x: (N, D), embed: (K, D) -> (N, K).
+    """
+    x = x.astype(jnp.float32)
+    embed = embed.astype(jnp.float32)
+    x2 = jnp.sum(jnp.square(x), axis=-1)
+    e2 = jnp.sum(jnp.square(embed), axis=-1)
+    xy = jnp.matmul(x, embed.T, precision=precision)
+    d2 = x2[:, None] + e2[None, :] - 2.0 * xy
+    return jnp.sqrt(jnp.clip(d2, 0.0, None))
+
+
+def nearest_code_xla(x: jnp.ndarray, embed: jnp.ndarray) -> jnp.ndarray:
+    """argmin_k ||x - e_k|| via one fp32 MXU matmul.  x: (N,D) -> (N,) int32.
+
+    sqrt is monotonic so we argmin the squared distance; the |x|^2 term is
+    constant per row and dropped.  First-index tie-breaking matches torch/jnp
+    argmax conventions.
+    """
+    x = x.astype(jnp.float32)
+    embed = embed.astype(jnp.float32)
+    e2 = jnp.sum(jnp.square(embed), axis=-1)
+    xy = jnp.matmul(x, embed.T, precision=jax.lax.Precision.HIGHEST)
+    return jnp.argmin(e2[None, :] - 2.0 * xy, axis=-1).astype(jnp.int32)
+
+
+@flax.struct.dataclass
+class VQLayerOut:
+    quantized: jnp.ndarray  # (B, T, D) — straight-through in training
+    indices: jnp.ndarray  # (B, T) int32
+    commit_loss: jnp.ndarray  # scalar
+    diversity_loss: jnp.ndarray  # scalar
+    loss: jnp.ndarray  # commitment_weight * commit + diversity_weight * div
+
+
+class VectorQuantize(nn.Module):
+    """One EMA-codebook VQ layer over (B, T, dim) tokens.
+
+    Mirrors reference VectorQuantize + EuclideanCodebook with the student /
+    teacher configuration surface (decay, diversity loss, dead-code expiry).
+    """
+
+    dim: int
+    codebook_size: int
+    decay: float = 0.8
+    eps: float = 1e-5
+    commitment_weight: float = 1.0
+    codebook_diversity_loss_weight: float = 0.0
+    codebook_diversity_temperature: float = 100.0
+    threshold_ema_dead_code: float = 0.0
+    kmeans_init: bool = False
+
+    def setup(self):
+        init_fn = (
+            nn.initializers.zeros if self.kmeans_init else _kaiming_uniform_init
+        )
+        self.embed = self.variable(
+            "codebook",
+            "embed",
+            lambda: init_fn(
+                self.make_rng("params"), (self.codebook_size, self.dim)
+            ),
+        )
+        self.embed_avg = self.variable(
+            "codebook", "embed_avg", lambda: jnp.array(self.embed.value)
+        )
+        self.cluster_size = self.variable(
+            "codebook", "cluster_size", lambda: jnp.ones((self.codebook_size,))
+        )
+        self.initted = self.variable(
+            "codebook",
+            "initted",
+            lambda: jnp.array(0.0 if self.kmeans_init else 1.0, jnp.float32),
+        )
+
+    def __call__(
+        self,
+        x: jnp.ndarray,
+        *,
+        training: bool = False,
+        update_ema: bool = True,
+        freeze_codebook: bool = False,
+    ) -> VQLayerOut:
+        B, T, D = x.shape
+        assert D == self.dim
+        x32 = x.astype(jnp.float32)
+        flat = x32.reshape(-1, D)
+        embed = self.embed.value
+
+        if training:
+            # full distance matrix needed for the diversity loss gradient
+            dist = pairwise_distance(flat, jax.lax.stop_gradient(embed))
+            ind = jnp.argmin(dist, axis=-1).astype(jnp.int32)
+        else:
+            dist = None
+            ind = nearest_code_xla(flat, embed)
+
+        quantize = jnp.take(embed, ind, axis=0)  # (N, D)
+
+        commit_loss = jnp.zeros((), jnp.float32)
+        diversity_loss = jnp.zeros((), jnp.float32)
+        if training:
+            commit_loss = jnp.mean(
+                jnp.square(jax.lax.stop_gradient(quantize) - flat)
+            )
+            if self.codebook_diversity_loss_weight > 0.0:
+                # reference quirk: softmax over +distance (see module docstring)
+                prob = jax.nn.softmax(
+                    dist * self.codebook_diversity_temperature, axis=-1
+                )
+                avg_prob = jnp.mean(
+                    prob.reshape(B, T, self.codebook_size), axis=0
+                )  # (T, K): per-position batch average (reference :1063)
+                ent = -jnp.sum(
+                    avg_prob * jnp.log(jnp.clip(avg_prob, 1e-5, None)), axis=-1
+                )
+                diversity_loss = -jnp.mean(ent)
+
+            if update_ema and not freeze_codebook:
+                self._ema_update(flat, ind)
+
+            # straight-through estimator (vector_quantize_pytorch.py:1010)
+            quantize = flat + jax.lax.stop_gradient(quantize - flat)
+
+        loss = (
+            self.commitment_weight * commit_loss
+            + self.codebook_diversity_loss_weight * diversity_loss
+        )
+        return VQLayerOut(
+            quantized=quantize.reshape(B, T, D).astype(x.dtype)
+            if not training
+            else quantize.reshape(B, T, D),
+            indices=ind.reshape(B, T),
+            commit_loss=commit_loss,
+            diversity_loss=diversity_loss,
+            loss=loss,
+        )
+
+    def _ema_update(self, flat: jnp.ndarray, ind: jnp.ndarray):
+        """EMA codebook transition (vector_quantize_pytorch.py:508-531).
+
+        All sums are global over the token axis; under a sharded batch XLA
+        all-reduces them across the ``data`` mesh axis automatically.
+        """
+        K = self.codebook_size
+        flat = jax.lax.stop_gradient(flat)
+        onehot = jax.nn.one_hot(ind, K, dtype=jnp.float32)  # (N, K)
+        counts = jnp.sum(onehot, axis=0)  # (K,)
+        embed_sum = jnp.matmul(
+            onehot.T, flat, precision=jax.lax.Precision.HIGHEST
+        )  # (K, D)
+
+        d = self.decay
+        new_cluster = self.cluster_size.value * d + counts * (1.0 - d)
+        new_avg = self.embed_avg.value * d + embed_sum * (1.0 - d)
+
+        total = jnp.sum(new_cluster)
+        smoothed = (new_cluster + self.eps) / (total + K * self.eps) * total
+        new_embed = new_avg / smoothed[:, None]
+
+        if self.threshold_ema_dead_code > 0:
+            # dead-code expiry (vector_quantize_pytorch.py:441-460): replace
+            # expired codes with vectors sampled from the current batch.
+            expired = new_cluster < self.threshold_ema_dead_code
+            rng = self.make_rng("codebook_expiry")
+            n = flat.shape[0]
+            sample_idx = jax.random.randint(rng, (K,), 0, n)
+            sampled = jnp.take(flat, sample_idx, axis=0)
+            reset = float(self.threshold_ema_dead_code)
+            new_embed = jnp.where(expired[:, None], sampled, new_embed)
+            new_cluster = jnp.where(expired, reset, new_cluster)
+            new_avg = jnp.where(expired[:, None], sampled * reset, new_avg)
+
+        self.cluster_size.value = new_cluster
+        self.embed_avg.value = new_avg
+        self.embed.value = new_embed
+
+    def decode_indices(self, indices: jnp.ndarray) -> jnp.ndarray:
+        """codes (...,) -> vectors (..., dim); pure codebook gather."""
+        return jnp.take(self.embed.value, indices, axis=0)
+
+
+@flax.struct.dataclass
+class ResidualVQOut:
+    quantized: jnp.ndarray  # (B, T, dim) after project_out
+    indices: jnp.ndarray  # (B, T, R) int32 (-1 for dropped-out layers)
+    quantized_out: jnp.ndarray  # (B, T, codebook_dim) pre-project_out sum
+    x_pjt_in: jnp.ndarray  # (B, T, codebook_dim) projected input
+    loss: jnp.ndarray  # per-layer mean of vq losses
+    commit_loss: jnp.ndarray
+    diversity_loss: jnp.ndarray
+
+
+class ResidualVQ(nn.Module):
+    """R-layer residual VQ over one feature group
+    (reference: utils/residual_vq.py:39-259)."""
+
+    dim: int
+    num_quantizers: int
+    codebook_size: int
+    codebook_dim: int | None = None
+    decay: float = 0.8
+    commitment_weight: float = 1.0
+    codebook_diversity_loss_weight: float = 0.0
+    codebook_diversity_temperature: float = 100.0
+    threshold_ema_dead_code: float = 0.0
+    quantize_dropout: bool = False
+    quantize_dropout_cutoff_index: int = 0
+
+    @property
+    def _codebook_dim(self) -> int:
+        return self.codebook_dim if self.codebook_dim is not None else self.dim
+
+    @property
+    def _has_projections(self) -> bool:
+        return self._codebook_dim != self.dim
+
+    def setup(self):
+        cdim = self._codebook_dim
+        if self._has_projections:
+            self.project_in = nn.Dense(cdim, name="project_in")
+            self.project_out = nn.Dense(self.dim, name="project_out")
+        self.layers = [
+            VectorQuantize(
+                dim=cdim,
+                codebook_size=self.codebook_size,
+                decay=self.decay,
+                commitment_weight=self.commitment_weight,
+                codebook_diversity_loss_weight=self.codebook_diversity_loss_weight,
+                codebook_diversity_temperature=self.codebook_diversity_temperature,
+                threshold_ema_dead_code=self.threshold_ema_dead_code,
+                name=f"layers_{r}",
+            )
+            for r in range(self.num_quantizers)
+        ]
+
+    def __call__(
+        self,
+        x: jnp.ndarray,
+        *,
+        training: bool = False,
+        update_ema: bool = True,
+        freeze_codebook: bool = False,
+        dropout_index: jnp.ndarray | None = None,
+    ) -> ResidualVQOut:
+        x_pjt = self.project_in(x) if self._has_projections else x
+        residual = x_pjt.astype(jnp.float32)
+        quantized_out = jnp.zeros_like(residual)
+
+        all_ind, losses, commits, divs = [], [], [], []
+        for r, layer in enumerate(self.layers):
+            out = layer(
+                residual,
+                training=training,
+                update_ema=update_ema,
+                freeze_codebook=freeze_codebook,
+            )
+            if dropout_index is not None:
+                keep = (r <= dropout_index).astype(jnp.float32)
+                q = out.quantized * keep
+                ind = jnp.where(r <= dropout_index, out.indices, -1)
+            else:
+                q = out.quantized
+                ind = out.indices
+            residual = residual - jax.lax.stop_gradient(q)
+            quantized_out = quantized_out + q
+            all_ind.append(ind)
+            losses.append(out.loss)
+            commits.append(out.commit_loss)
+            divs.append(out.diversity_loss)
+
+        quantized_down = (
+            self.project_out(quantized_out.astype(x.dtype))
+            if self._has_projections
+            else quantized_out.astype(x.dtype)
+        )
+        return ResidualVQOut(
+            quantized=quantized_down,
+            indices=jnp.stack(all_ind, axis=-1),
+            quantized_out=quantized_out,
+            x_pjt_in=x_pjt,
+            loss=jnp.mean(jnp.stack(losses)),
+            commit_loss=jnp.mean(jnp.stack(commits)),
+            diversity_loss=jnp.mean(jnp.stack(divs)),
+        )
+
+    def get_output_from_indices(self, indices: jnp.ndarray) -> jnp.ndarray:
+        """indices (B, T, R) -> (B, T, dim): codebook gathers summed over
+        residual layers then projected out (residual_vq.py:103-138).
+        -1 indices (quantize dropout) decode to zero vectors."""
+        total = None
+        for r, layer in enumerate(self.layers):
+            ind = indices[..., r]
+            vec = layer.decode_indices(jnp.maximum(ind, 0))
+            vec = jnp.where((ind >= 0)[..., None], vec, 0.0)
+            total = vec if total is None else total + vec
+        if self._has_projections:
+            return self.project_out(total)
+        return total
+
+    @property
+    def codebooks(self) -> jnp.ndarray:
+        """(R, K, D) stacked codebooks (residual_vq.py:97-101)."""
+        return jnp.stack([l.embed.value for l in self.layers], axis=0)
+
+
+@flax.struct.dataclass
+class GroupedResidualVQOut:
+    quantized: jnp.ndarray  # (B, T, dim) — concat of group outputs
+    indices: jnp.ndarray  # (G, B, T, R)
+    quantized_out: jnp.ndarray  # (B, T, G*codebook_dim)
+    x_pjt_in: jnp.ndarray  # (B, T, G*codebook_dim)
+    loss: jnp.ndarray
+    commit_loss: jnp.ndarray
+    diversity_loss: jnp.ndarray
+
+
+class GroupedResidualVQ(nn.Module):
+    """Feature-dim groups of ResidualVQ (reference: residual_vq.py:263-356)."""
+
+    dim: int
+    groups: int
+    num_quantizers: int
+    codebook_size: int
+    codebook_dim: int | None = None
+    decay: float = 0.8
+    commitment_weight: float = 1.0
+    codebook_diversity_loss_weight: float = 0.0
+    codebook_diversity_temperature: float = 100.0
+    threshold_ema_dead_code: float = 0.0
+
+    def setup(self):
+        assert self.dim % self.groups == 0
+        self.rvqs = [
+            ResidualVQ(
+                dim=self.dim // self.groups,
+                num_quantizers=self.num_quantizers,
+                codebook_size=self.codebook_size,
+                codebook_dim=self.codebook_dim,
+                decay=self.decay,
+                commitment_weight=self.commitment_weight,
+                codebook_diversity_loss_weight=self.codebook_diversity_loss_weight,
+                codebook_diversity_temperature=self.codebook_diversity_temperature,
+                threshold_ema_dead_code=self.threshold_ema_dead_code,
+                name=f"rvqs_{g}",
+            )
+            for g in range(self.groups)
+        ]
+
+    def __call__(
+        self,
+        x: jnp.ndarray,
+        *,
+        training: bool = False,
+        update_ema: bool = True,
+        freeze_codebook: bool = False,
+    ) -> GroupedResidualVQOut:
+        chunks = jnp.split(x, self.groups, axis=-1)
+        outs = [
+            rvq(
+                c,
+                training=training,
+                update_ema=update_ema,
+                freeze_codebook=freeze_codebook,
+            )
+            for rvq, c in zip(self.rvqs, chunks)
+        ]
+        return GroupedResidualVQOut(
+            quantized=jnp.concatenate([o.quantized for o in outs], axis=-1),
+            indices=jnp.stack([o.indices for o in outs], axis=0),
+            quantized_out=jnp.concatenate(
+                [o.quantized_out for o in outs], axis=-1
+            ),
+            x_pjt_in=jnp.concatenate([o.x_pjt_in for o in outs], axis=-1),
+            loss=jnp.mean(jnp.stack([o.loss for o in outs])),
+            commit_loss=jnp.mean(jnp.stack([o.commit_loss for o in outs])),
+            diversity_loss=jnp.mean(
+                jnp.stack([o.diversity_loss for o in outs])
+            ),
+        )
+
+    def get_output_from_indices(self, indices: jnp.ndarray) -> jnp.ndarray:
+        """indices (G, B, T, R) -> (B, T, dim)."""
+        outs = [
+            rvq.get_output_from_indices(indices[g])
+            for g, rvq in enumerate(self.rvqs)
+        ]
+        return jnp.concatenate(outs, axis=-1)
+
+    @property
+    def codebooks(self) -> jnp.ndarray:
+        """(G, R, K, D)."""
+        return jnp.stack([rvq.codebooks for rvq in self.rvqs], axis=0)

@@ -141,6 +141,73 @@ def convert_encoder(sd: StateDict, cfg: EncoderConfig) -> dict:
     return params
 
 
+def convert_quantizer(sd: StateDict, cfg: QuantizerConfig) -> tuple[dict, dict]:
+    """Reference DownsampleGRVQ state dict -> (flax params, codebook state).
+
+    Key layout: distilcodec/vector_quantization/grfvq.py:68-96 (down/upsample
+    sequentials) and utils/residual_vq.py:61-68 + vector_quantize_pytorch.py:
+    319-327 (projections + codebook buffers).  The reference's ``upsample``
+    Sequential is built over ``reversed(enumerate(downsample_factor))``
+    (grfvq.py:83-96), so its sequential index s maps to original stage index
+    ``rev[s]``.
+    """
+    factors = cfg.downsample_factor
+    params: dict = {}
+    for i in range(len(factors)):
+        params[f"downsample_{i}_conv"] = _plain_conv(sd, f"downsample.{i}.0")
+        params[f"downsample_{i}_block"] = _convnext_block(sd, f"downsample.{i}.1")
+    rev = list(reversed(range(len(factors))))
+    for s, i in enumerate(rev):
+        params[f"upsample_{i}_conv"] = _plain_convtr(sd, f"upsample.{s}.0")
+        params[f"upsample_{i}_block"] = _convnext_block(sd, f"upsample.{s}.1")
+
+    grvq_params: dict = {}
+    codebook: dict = {"grvq": {}}
+    for g in range(cfg.n_groups):
+        rp = f"grvq.rvqs.{g}"
+        group_params: dict = {}
+        if f"{rp}.project_in.weight" in sd:
+            group_params["project_in"] = {
+                "kernel": _linear_w(sd[f"{rp}.project_in.weight"]),
+                "bias": np.asarray(sd[f"{rp}.project_in.bias"]).copy(),
+            }
+            group_params["project_out"] = {
+                "kernel": _linear_w(sd[f"{rp}.project_out.weight"]),
+                "bias": np.asarray(sd[f"{rp}.project_out.bias"]).copy(),
+            }
+        grvq_params[f"rvqs_{g}"] = group_params
+        group_cb: dict = {}
+        for r in range(cfg.n_codebooks):
+            cp = f"{rp}.layers.{r}._codebook"
+            group_cb[f"layers_{r}"] = {
+                "embed": np.asarray(sd[f"{cp}.embed"])[0].copy(),
+                "embed_avg": np.asarray(sd[f"{cp}.embed_avg"])[0].copy(),
+                "cluster_size": np.asarray(sd[f"{cp}.cluster_size"])[0].copy(),
+                "initted": np.float32(np.asarray(sd[f"{cp}.initted"]).reshape(())),
+            }
+        codebook["grvq"][f"rvqs_{g}"] = group_cb
+    params["grvq"] = grvq_params
+    return params, codebook
+
+
+def convert_codec_checkpoint(ckpt: dict, cfg: CodecConfig) -> dict:
+    """Full reference ``g_*`` checkpoint dict -> our variables tree:
+    ``{'params': {'encoder', 'quantizer', 'generator'}, 'codebook': ...}``."""
+    q_params, q_codebook = convert_quantizer(ckpt["quantizer"], cfg.quantizer)
+    variables = {
+        "params": {
+            "encoder": convert_encoder(ckpt["encoder"], cfg.encoder),
+            "quantizer": q_params,
+        },
+        "codebook": {"quantizer": q_codebook},
+    }
+    if "generator" in ckpt:
+        variables["params"]["generator"] = convert_generator(
+            ckpt["generator"], cfg.decoder
+        )
+    return variables
+
+
 def _resblock1(sd: StateDict, prefix: str, n: int = 3) -> dict:
     out = {}
     for j in range(n):
