@@ -1,0 +1,555 @@
+"""DistilCodec facade: the user-facing end-to-end API.
+
+Drop-in behavioral twin of the reference ``DistilCodec`` class
+(distilcodec/distil_codec.py:29-654): same construction from
+``model_config.json``, same ``from_pretrained`` on reference ``g_*`` torch
+checkpoints, same encode/decode/token surfaces and length bookkeeping.
+
+TPU-first differences (behavior-preserving):
+* the whole encode path (mel -> encoder -> VQ) and decode path (codebook
+  gather -> upsample -> generator) are each ONE jitted device program — there
+  is no CPU STFT round-trip (the reference forces its STFT to CPU,
+  mel_spec.py:39) and no per-batch-element device->host slicing inside the
+  hot path;
+* jit caches compile per input shape; ``pad_to_multiple`` can bucket audio
+  lengths to bound recompiles (off by default to match reference padding
+  semantics bit-for-bit — the reference pads to the batch max, which affects
+  trailing token ids).
+
+Known reference bug NOT replicated: ``decode_from_codes_batch`` builds a
+(batch, 1, L, 1) tensor whose dim 0 is consumed as the *group* axis by
+``grvq.get_output_from_indices`` (distil_codec.py:620-630 vs grfvq.py:141-146
++ residual_vq.py:298), so only the first sequence decodes and the rest come
+back empty.  Ours batches along the batch axis properly; the zero-padding of
+short sequences with code id 0 (a real code) is kept, as documented there.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import pathlib
+import re
+from functools import partial
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .config import CodecConfig, load_model_config
+from .dsp.mel import LogMelSpectrogram
+from .llm_bridge import (
+    audio_tokenize,
+    construct_audio_code,
+    get_codebook,
+    llm_token_expanding,
+    reset_codebook_embeddings,
+)
+from .models.encoder import ConvNeXtEncoder
+from .models.generator import HiFiGANGenerator
+from .quantization.grvq import DownsampleGRVQ, GRVQResult
+from .utils import audio_io
+
+
+class DistilCodecModule(nn.Module):
+    """Encoder + quantizer + generator composition (jittable core)."""
+
+    cfg: CodecConfig
+    only_quantizer: bool = False
+
+    def setup(self):
+        cfg = self.cfg
+        if not self.only_quantizer:
+            self.encoder = ConvNeXtEncoder(cfg.encoder, name="encoder")
+            self.generator = HiFiGANGenerator(cfg.decoder, name="generator")
+        self.quantizer = DownsampleGRVQ(cfg.quantizer, name="quantizer")
+        self.spec_transform = LogMelSpectrogram(
+            sample_rate=cfg.spec.sampling_rate,
+            n_fft=cfg.spec.n_fft,
+            win_length=cfg.spec.win_size,
+            hop_length=cfg.spec.hop_size,
+            n_mels=cfg.spec.num_mels,
+            f_min=cfg.spec.fmin,
+            f_max=cfg.spec.fmax,
+        )
+
+    def mel(self, audio: jnp.ndarray) -> jnp.ndarray:
+        """(B, L) waveform -> (B, T, n_mels) log-mel (channels-last)."""
+        mel = self.spec_transform(audio)  # (B, M, T)
+        return jnp.swapaxes(mel, -1, -2)
+
+    def encode_result(
+        self,
+        audio: jnp.ndarray,
+        *,
+        training: bool = False,
+        update_ema: bool = False,
+    ) -> GRVQResult:
+        """(B, L) waveform -> GRVQResult."""
+        mel = self.mel(audio)
+        encoded = self.encoder(mel, training=training)
+        return self.quantizer(
+            encoded, training=training, update_ema=update_ema
+        )
+
+    def encode_codes(self, audio: jnp.ndarray) -> jnp.ndarray:
+        """(B, L) waveform -> indices (B, G*R, L_frames)."""
+        mel = self.mel(audio)
+        return self.quantizer.encode(self.encoder(mel))
+
+    def decode_codes(self, codes: jnp.ndarray) -> jnp.ndarray:
+        """codes (G, B, L, R) -> waveform (B, hop*T)."""
+        feats = self.quantizer.decode(codes)
+        return self.generator(feats)
+
+    def decode_features(self, feats: jnp.ndarray) -> jnp.ndarray:
+        """quantized features (B, T, C) -> waveform (B, hop*T)."""
+        return self.generator(feats)
+
+    def __call__(
+        self, audio: jnp.ndarray, *, training: bool = False, update_ema: bool = False
+    ):
+        """Full round-trip: (B, L) waveform -> (reconstruction, GRVQResult)."""
+        result = self.encode_result(
+            audio, training=training, update_ema=update_ema
+        )
+        wave = self.generator(result.quantized, training=training)
+        return wave, result
+
+
+class DistilCodec:
+    """User-facing codec (reference API: distil_codec.py:29-654)."""
+
+    def __init__(
+        self,
+        configs: dict | CodecConfig,
+        is_debug: bool = False,
+        only_quantizer: bool = False,
+        variables: dict | None = None,
+        seed: int = 0,
+    ):
+        if isinstance(configs, dict):
+            configs = CodecConfig.from_dict(configs)
+        self.codec_config = configs
+        self.is_debug = is_debug
+        self.ckpt_step = 0
+        self.g_ckpt_path = ""
+        self.ngroups = configs.quantizer.n_groups
+        self.nresiduals = configs.quantizer.n_codebooks
+        self.hop_size = configs.spec.hop_size
+        self.ds_factor = configs.quantizer.total_downsample
+        self.tokens_id_offset = configs.token_id_offset
+        self.spec_config = configs.spec
+
+        self.module = DistilCodecModule(configs, only_quantizer=only_quantizer)
+        if variables is None:
+            dummy = jnp.zeros((1, self.hop_size * 8 * self.ds_factor + 1))
+            if only_quantizer:
+                variables = self.module.init(
+                    jax.random.PRNGKey(seed),
+                    jnp.zeros((1, 8, configs.quantizer.input_dim)),
+                    method=lambda m, x: m.quantizer(x),
+                )
+            else:
+                variables = self.module.init(jax.random.PRNGKey(seed), dummy)
+        self.variables = variables
+
+        self._encode_jit = jax.jit(
+            lambda v, a: self.module.apply(v, a, method="encode_result")
+        )
+        self._decode_codes_jit = jax.jit(
+            lambda v, c: self.module.apply(v, c, method="decode_codes")
+        )
+        self._decode_feats_jit = jax.jit(
+            lambda v, f: self.module.apply(v, f, method="decode_features")
+        )
+        self._roundtrip_jit = jax.jit(
+            lambda v, a: self.module.apply(v, a)
+        )
+
+        self.gr_audio_code2token = self.construct_audio_code(
+            self.tokens_id_offset
+        )
+
+    # ------------------------------------------------------------------ load
+
+    @classmethod
+    def from_pretrained(
+        cls,
+        config_path: str,
+        model_path: str,
+        load_steps: int = -1,
+        is_debug: bool = False,
+        use_generator: bool = True,
+        local_rank: int = 0,
+    ) -> "DistilCodec":
+        """Load a reference torch ``g_*`` checkpoint (distil_codec.py:77-97)."""
+        from .utils.torch_import import (
+            convert_codec_checkpoint,
+            load_torch_checkpoint,
+        )
+
+        cfg = load_model_config(config_path)
+        ckpt = load_torch_checkpoint(model_path)
+        codec = cls(cfg, is_debug=is_debug)
+        converted = convert_codec_checkpoint(ckpt, cfg)
+        variables = jax.tree_util.tree_map(jnp.asarray, converted)
+        # keep randomly-initialized generator if checkpoint lacks it
+        params = dict(variables["params"])
+        if "generator" not in params:
+            params["generator"] = codec.variables["params"]["generator"]
+        codec.variables = {"params": params, "codebook": variables["codebook"]}
+        codec.g_ckpt_path = model_path
+        codec.ckpt_step = -1
+        codec.gr_audio_code2token = codec.construct_audio_code(
+            codec.tokens_id_offset
+        )
+        return codec
+
+    # ----------------------------------------------------------- preprocess
+
+    def _lengths(self, n_samples: int) -> tuple[int, int]:
+        n_hop_length = n_samples // (self.hop_size * self.ds_factor)
+        gen_time_length = (n_samples // self.hop_size) * (self.hop_size + 1)
+        return n_hop_length, gen_time_length
+
+    def preprocess_raw_audio_batch(self, audio_data_info_list: list):
+        """[(audio array, sr), ...] -> (audios, gen_time_lengths, n_hop_lengths)
+
+        Replicates reference padding semantics exactly: resample to target sr,
+        mono mean, then pad every item with (1, max_len - len) zeros — note the
+        1-sample LEFT pad (distil_codec.py:133-136), which shifts all frames
+        and DOES affect token ids.
+        """
+        audio_list, audio_lengths, n_hop_lengths, gen_lengths = [], [], [], []
+        max_length = 0
+        for audio, sr in audio_data_info_list:
+            audio = np.asarray(audio, dtype=np.float32)
+            if sr != self.spec_config.sampling_rate:
+                audio = audio_io.resample(
+                    audio, sr, self.spec_config.sampling_rate
+                )
+            if audio.ndim > 1:
+                if audio.shape[0] > 1:
+                    audio = audio.mean(axis=0)
+                else:
+                    audio = audio[0]
+            max_length = max(max_length, audio.shape[-1])
+            nh, gt = self._lengths(audio.shape[-1])
+            audio_list.append(audio)
+            audio_lengths.append(audio.shape[-1])
+            n_hop_lengths.append(nh)
+            gen_lengths.append(gt)
+
+        batch = np.zeros((len(audio_list), max_length + 1), dtype=np.float32)
+        for i, audio in enumerate(audio_list):
+            batch[i, 1 : 1 + audio_lengths[i]] = audio
+        return batch, gen_lengths, n_hop_lengths
+
+    def preprocess_audio_batch(self, audio_pathes: list):
+        """Load from disk with the reference's noise fallback on decode errors
+        (distil_codec.py:147-198)."""
+        items = []
+        for p in audio_pathes:
+            try:
+                audio, sr = audio_io.load_wav(
+                    p, sr=self.spec_config.sampling_rate
+                )
+            except Exception:
+                print(f"Error on audio: {p}")
+                audio = (
+                    np.random.normal(size=(self.spec_config.sampling_rate,))
+                    * 0.05
+                ).astype(np.float32)
+                sr = self.spec_config.sampling_rate
+            items.append((audio, sr))
+        return self.preprocess_raw_audio_batch(items)
+
+    # ----------------------------------------------------------------- API
+
+    def encode(
+        self,
+        audio_pathes: list,
+        enable_bfloat16: bool = False,
+        raw_audio: bool = False,
+    ):
+        """Audio -> GRVQResult (+ per-item token lists), mirrors
+        distil_codec.py:545-573.  Returns (result, codes_list, x_pjt_in_list,
+        quantized_fup_list, gen_time_lengths, n_hop_lengths)."""
+        if raw_audio:
+            audios, gen_lengths, n_hop_lengths = self.preprocess_raw_audio_batch(
+                audio_pathes
+            )
+        else:
+            audios, gen_lengths, n_hop_lengths = self.preprocess_audio_batch(
+                audio_pathes
+            )
+        result: GRVQResult = self._encode_jit(self.variables, jnp.asarray(audios))
+        codes = np.asarray(result.codes)  # (G, B, L, R)
+        x_pjt = np.asarray(result.x_pjt_in)  # (B, L, G*Dc)
+        fup = np.asarray(result.quantized_fup)
+
+        codes_list, pjt_list, fup_list = [], [], []
+        for b, hop_len in enumerate(n_hop_lengths):
+            c = codes[:, b, :hop_len, :]  # (G, hop_len, R)
+            seq = np.transpose(c, (1, 0, 2)).reshape(hop_len, -1).reshape(-1)
+            codes_list.append(
+                audio_tokenize(
+                    self.gr_audio_code2token,
+                    seq.tolist(),
+                    n_groups=codes.shape[0],
+                    n_residual=codes.shape[-1],
+                )
+            )
+            # the reference's (L, D) -> (2L, D/2) "half-dim" reshape
+            # (distil_codec.py:566-570)
+            pjt_list.append(
+                x_pjt[b, :hop_len].reshape(hop_len, 2, -1).reshape(hop_len * 2, -1)
+            )
+            fup_list.append(
+                fup[b, :hop_len].reshape(hop_len, 2, -1).reshape(hop_len * 2, -1)
+            )
+        return result, codes_list, pjt_list, fup_list, gen_lengths, n_hop_lengths
+
+    def audio_tokenize(self, codes: list, n_groups: int, n_residual: int):
+        return audio_tokenize(
+            self.gr_audio_code2token, codes, n_groups, n_residual
+        )
+
+    def encode_to_token_ids(
+        self, audio_pathes: list, raw_audio: bool = False, plus_offset: bool = True
+    ) -> list[list[int]]:
+        """Convenience: audio -> plain int token ids per item (the
+        decode_audio/demo flow, distil_codec.py:687-708)."""
+        _, codes_list, *_ = self.encode(audio_pathes, raw_audio=raw_audio)
+        out = []
+        for toks in codes_list:
+            ids = [t["in_codebook_id"] for t in toks]
+            if plus_offset:
+                ids = [i + self.tokens_id_offset for i in ids]
+            out.append(ids)
+        return out
+
+    def decode_from_codes(
+        self,
+        codes: list,
+        minus_token_offset: bool = True,
+        enable_bfloat16: bool = False,
+    ) -> np.ndarray:
+        """Flat token list -> waveform (1, 1, L·hop·ds) — distil_codec.py:581-594."""
+        if minus_token_offset:
+            codes = [c - self.tokens_id_offset for c in codes]
+        arr = np.asarray(codes, dtype=np.int32).reshape(1, 1, -1, 1)
+        wave = self._decode_codes_jit(self.variables, jnp.asarray(arr))
+        return np.asarray(wave)[:, None, :]
+
+    def decode_from_codes_batch(
+        self,
+        codes_list: list,
+        minus_token_offset: bool = True,
+        enable_bfloat16: bool = False,
+    ) -> list[np.ndarray]:
+        """Batched decode.  Pads short sequences with code id 0 (a real code —
+        padding frames decode to garbage the caller must trim, kept from the
+        reference distil_codec.py:620-625)."""
+        if not codes_list:
+            return []
+        if minus_token_offset:
+            codes_list = [
+                [c - self.tokens_id_offset for c in codes] for codes in codes_list
+            ]
+        max_len = max(len(c) for c in codes_list)
+        batch = np.zeros((1, len(codes_list), max_len, 1), dtype=np.int32)
+        for i, codes in enumerate(codes_list):
+            batch[0, i, : len(codes), 0] = np.asarray(codes, dtype=np.int32)
+        waves = self._decode_codes_jit(self.variables, jnp.asarray(batch))
+        waves = np.asarray(waves)
+        return [waves[i : i + 1, None, :] for i in range(len(codes_list))]
+
+    def decode_from_features(
+        self, quantized_features, enable_bfloat16: bool = False
+    ) -> np.ndarray:
+        """(B, T, C) or reference-layout (B, C, T) features -> waveform."""
+        feats = jnp.asarray(quantized_features)
+        if feats.shape[-1] != self.codec_config.quantizer.input_dim:
+            feats = jnp.swapaxes(feats, -1, -2)
+        wave = self._decode_feats_jit(self.variables, feats)
+        return np.asarray(wave)[:, None, :]
+
+    def forward(self, audio_pathes: list):
+        """Round-trip on files (distil_codec.py:518-530)."""
+        audios, gen_lengths, n_hop_lengths = self.preprocess_audio_batch(
+            audio_pathes
+        )
+        wave, _ = self._roundtrip_jit(self.variables, jnp.asarray(audios))
+        return np.asarray(wave)[:, None, :], audios, gen_lengths, n_hop_lengths
+
+    __call__ = forward
+
+    def save_wav(
+        self,
+        audio_gen_batch: np.ndarray,
+        nhop_lengths,
+        audio_names=None,
+        save_path="./log",
+        name_tag="default",
+    ):
+        """(B, 1, L) batch -> wav files, trimming to per-item lengths
+        (distil_codec.py:640-654)."""
+        use_org_name = audio_names is not None and len(audio_names) == len(
+            nhop_lengths
+        )
+        os.makedirs(save_path, exist_ok=True)
+        audio_gen_batch = np.asarray(audio_gen_batch)
+        out_paths = []
+        for i in range(audio_gen_batch.shape[0]):
+            audio = audio_gen_batch[i, 0, : nhop_lengths[i]]
+            name = f"{name_tag}.wav" if not use_org_name else f"{audio_names[i]}"
+            path = os.path.join(save_path, name)
+            audio_io.save_wav(path, audio, self.spec_config.sampling_rate)
+            out_paths.append(path)
+        return out_paths
+
+    # ------------------------------------------------------------ codebook
+
+    @property
+    def codebooks(self) -> np.ndarray:
+        """(G, R, K, D) codebook array from current variables."""
+        cb = self.variables["codebook"]["quantizer"]["grvq"]
+        groups = []
+        for g in range(self.ngroups):
+            layers = cb[f"rvqs_{g}"]
+            groups.append(
+                np.stack(
+                    [
+                        np.asarray(layers[f"layers_{r}"]["embed"])
+                        for r in range(self.nresiduals)
+                    ]
+                )
+            )
+        return np.stack(groups)
+
+    def construct_audio_code(self, tokens_id_offset: int = 0) -> dict:
+        return construct_audio_code(self.codebooks, tokens_id_offset)
+
+    def get_codebook(self, is_one_codebook: bool = False):
+        return get_codebook(
+            self.codebooks, self.gr_audio_code2token, is_one_codebook
+        )
+
+    def llm_token_expanding(
+        self,
+        llm_path: str,
+        saved_path: str,
+        is_test: bool = False,
+        is_random_init: bool = False,
+        audio_scale_factor: float = 100.0,
+    ):
+        return llm_token_expanding(
+            self.codebooks,
+            self.gr_audio_code2token,
+            llm_path,
+            saved_path,
+            self.tokens_id_offset,
+            self.codec_config.quantizer.codebook_dim,
+            is_random_init=is_random_init,
+            audio_scale_factor=audio_scale_factor,
+            is_test=is_test,
+        )
+
+    def reset_codebook(self, unique_indice, save_path: str | None, topK: int = 6):
+        """Re-seed unused codes (distil_codec.py:434-486)."""
+        if isinstance(unique_indice, str):
+            with open(unique_indice) as f:
+                unique_codes = json.load(f)
+        elif isinstance(unique_indice, dict):
+            unique_codes = unique_indice
+        else:
+            raise ValueError("param unique_indice is not [str|dict]")
+
+        cb_state = jax.tree_util.tree_map(
+            np.asarray, self.variables["codebook"]
+        )
+        for i, gr_name in enumerate(unique_codes.keys()):
+            cur_group = i // self.ngroups
+            cur_residual = i % self.nresiduals
+            layer = cb_state["quantizer"]["grvq"][f"rvqs_{cur_group}"][
+                f"layers_{cur_residual}"
+            ]
+            new_cb = reset_codebook_embeddings(
+                layer["embed"], unique_codes[gr_name], top_k=topK
+            )
+            layer["embed"] = new_cb.astype(np.float32)
+        self.variables = {
+            "params": self.variables["params"],
+            "codebook": jax.tree_util.tree_map(jnp.asarray, cb_state),
+        }
+        self.gr_audio_code2token = self.construct_audio_code(
+            self.tokens_id_offset
+        )
+        if save_path is not None:
+            os.makedirs(save_path, exist_ok=True)
+            self.save_checkpoint(
+                f"{save_path}/g_{self.ckpt_step:08d}", num_ckpt_keep=5
+            )
+
+    # ---------------------------------------------------------- checkpoints
+
+    def save_checkpoint(self, filepath: str, num_ckpt_keep: int = 5):
+        """Write a reference-compatible torch ``g_*`` pickle
+        (distil_codec.py:494-502's keep-last-N pruning included)."""
+        from .utils.torch_export import export_codec_checkpoint
+
+        name = re.match(r"(do|g)_\d+", pathlib.Path(filepath).name).group(1)
+        ckpts = sorted(pathlib.Path(filepath).parent.glob(f"{name}_*"))
+        if len(ckpts) > num_ckpt_keep:
+            for c in ckpts[:-num_ckpt_keep]:
+                os.remove(c)
+        export_codec_checkpoint(self.variables, self.codec_config, filepath)
+
+    @staticmethod
+    def load_checkpoint(filepath: str, device=None):
+        from .utils.torch_import import load_torch_checkpoint
+
+        assert os.path.isfile(filepath)
+        return load_torch_checkpoint(filepath)
+
+    @staticmethod
+    def scan_checkpoint(cp_dir: str, prefix: str, target_steps: int = -1):
+        """Newest (or exact-step) checkpoint path (distil_codec.py:504-516)."""
+        pattern = os.path.join(cp_dir, prefix + "????????")
+        cp_list = glob.glob(pattern)
+        if len(cp_list) == 0:
+            return None
+        if target_steps != -1:
+            for p in cp_list:
+                if p.endswith(str(target_steps)):
+                    return p
+        return sorted(cp_list)[-1]
+
+
+def decode_audio(
+    codec: DistilCodec, audio_tsr, target_sr: int = 24000, plus_offset: bool = True
+) -> list[int]:
+    """Raw audio -> token id list (reference: distil_codec.py:687-708)."""
+    audio = np.asarray(audio_tsr, dtype=np.float32)
+    if audio.ndim > 1:
+        audio = audio[0]
+    _, codes_list, *_ = codec.encode([(audio, target_sr)], raw_audio=True)
+    ids = [t["in_codebook_id"] for t in codes_list[0]]
+    if plus_offset:
+        ids = [i + codec.tokens_id_offset for i in ids]
+    return ids
+
+
+def demo_for_generate_audio_codes(
+    codec: DistilCodec,
+    audio_path: str,
+    target_sr: int = 24000,
+    plus_llm_offset: bool = True,
+) -> list[int]:
+    """Audio file -> token ids (reference: distil_codec.py:711-727)."""
+    audio_tsr, _, _ = audio_io.load_and_resample_audio(audio_path, target_sr)
+    return decode_audio(codec, audio_tsr, target_sr, plus_llm_offset)

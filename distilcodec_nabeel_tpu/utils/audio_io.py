@@ -1,0 +1,88 @@
+"""Audio file IO + resampling.
+
+The reference uses librosa/soundfile (distilcodec/distil_codec.py:12-14,
+:657-684); neither ships in this image, so WAV IO is built on scipy/stdlib and
+resampling on polyphase filtering (scipy.signal.resample_poly).  Amplitude
+convention matches librosa.load: PCM is scaled to [-1, 1) float32.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+
+import numpy as np
+
+
+def load_wav(path: str, sr: int | None = None) -> tuple[np.ndarray, int]:
+    """Load a .wav file as mono-or-multichannel float32 in [-1, 1).
+
+    Returns (audio, sample_rate); resamples to ``sr`` when given (the
+    reference's ``load_wav`` semantics, distilcodec/models/meldataset.py:18-20,
+    which loads mono at the target rate)."""
+    from scipy.io import wavfile
+
+    rate, data = wavfile.read(path)
+    if data.dtype == np.int16:
+        audio = data.astype(np.float32) / 32768.0
+    elif data.dtype == np.int32:
+        audio = data.astype(np.float32) / 2147483648.0
+    elif data.dtype == np.uint8:
+        audio = (data.astype(np.float32) - 128.0) / 128.0
+    else:
+        audio = data.astype(np.float32)
+    if audio.ndim == 2:  # (frames, channels) -> mono mean like librosa mono
+        audio = audio.mean(axis=1)
+    if sr is not None and rate != sr:
+        audio = resample(audio, rate, sr)
+        rate = sr
+    return audio, rate
+
+
+def save_wav(path: str, audio: np.ndarray, sample_rate: int) -> None:
+    """Write float32 audio to 16-bit PCM WAV (soundfile.write equivalent)."""
+    from scipy.io import wavfile
+
+    audio = np.asarray(audio, dtype=np.float32)
+    pcm = np.clip(audio * 32768.0, -32768, 32767).astype(np.int16)
+    wavfile.write(path, sample_rate, pcm)
+
+
+def resample(audio: np.ndarray, orig_sr: int, target_sr: int) -> np.ndarray:
+    """Polyphase resampling (librosa.resample equivalent role; the exact
+    filter differs from librosa's soxr default — see SURVEY §7 hard part 1)."""
+    if orig_sr == target_sr:
+        return audio
+    from scipy.signal import resample_poly
+
+    g = math.gcd(orig_sr, target_sr)
+    return resample_poly(audio, target_sr // g, orig_sr // g, axis=-1).astype(
+        np.float32
+    )
+
+
+def load_and_resample_audio(
+    file_path: str,
+    target_sr: int,
+    mono: bool = True,
+    limited: float | None = None,
+    rng: np.random.Generator | None = None,
+):
+    """Reference ``load_and_resample_audio`` (distil_codec.py:657-684):
+    returns (audio (1, L) float32, target_sr, original duration seconds)."""
+    y, orig_sr = load_wav(file_path)
+    duration = len(y) / orig_sr
+    if (
+        limited is not None
+        and duration > limited
+        and len(y) - int(orig_sr * limited) > 1000
+    ):
+        rng = rng or np.random.default_rng()
+        start = int(rng.integers(0, len(y) - int(orig_sr * limited)))
+        y = y[start : start + int(orig_sr * limited)]
+    y = resample(y, orig_sr, target_sr)
+    if y.ndim == 1:
+        y = y[None, :]
+    elif mono and y.ndim > 1:
+        y = y.mean(axis=0, keepdims=True)
+    return y.astype(np.float32), target_sr, duration
