@@ -1,0 +1,64 @@
+"""GAN + reconstruction losses.
+
+LSGAN objective exactly as the reference defines it
+(distilcodec/models/descriminators.py:324-355, generators.py:17-25):
+D: (1-D(y))^2 + D(y_hat)^2 ; G: (1-D(y_hat))^2 ; feature-matching L1 x2.
+VQ losses are weighted by train_config.json:64-65 at the loop level
+(codebook λ=1.0 on diversity, commitment λ=0.25).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def feature_loss(fmap_r, fmap_g) -> jnp.ndarray:
+    """Feature-matching L1, doubled (descriminators.py:324-330)."""
+    loss = 0.0
+    for dr, dg in zip(fmap_r, fmap_g):
+        for rl, gl in zip(dr, dg):
+            loss += jnp.mean(jnp.abs(rl - gl))
+    return loss * 2
+
+
+def discriminator_loss(disc_real_outputs, disc_generated_outputs):
+    """(descriminators.py:333-344). Returns (total, per-disc real, per-disc gen)."""
+    loss = 0.0
+    r_losses, g_losses = [], []
+    for dr, dg in zip(disc_real_outputs, disc_generated_outputs):
+        r_loss = jnp.mean(jnp.square(1.0 - dr))
+        g_loss = jnp.mean(jnp.square(dg))
+        loss += r_loss + g_loss
+        r_losses.append(r_loss)
+        g_losses.append(g_loss)
+    return loss, r_losses, g_losses
+
+
+def generator_loss(disc_outputs):
+    """(descriminators.py:347-355)."""
+    loss = 0.0
+    gen_losses = []
+    for dg in disc_outputs:
+        l = jnp.mean(jnp.square(1.0 - dg))
+        gen_losses.append(l)
+        loss += l
+    return loss, gen_losses
+
+
+def mel_l1_loss(mel_real: jnp.ndarray, mel_gen: jnp.ndarray) -> jnp.ndarray:
+    """L1 on log-mel spectrograms (the HiFiGAN-lineage reconstruction loss the
+    reference's absent train loop implies; see SURVEY §3.4)."""
+    return jnp.mean(jnp.abs(mel_real - mel_gen))
+
+
+def codebook_metrics(indices: jnp.ndarray, codebook_size: int) -> dict:
+    """Usage %% and perplexity of the batch code distribution — the README's
+    evaluation metrics (reference README.md:62-66)."""
+    flat = indices.reshape(-1)
+    counts = jnp.bincount(flat, length=codebook_size)
+    p = counts / jnp.maximum(flat.shape[0], 1)
+    entropy = -jnp.sum(jnp.where(p > 0, p * jnp.log(jnp.clip(p, 1e-12)), 0.0))
+    return {
+        "codebook_usage": jnp.mean((counts > 0).astype(jnp.float32)),
+        "codebook_perplexity": jnp.exp(entropy),
+    }

@@ -1,0 +1,349 @@
+"""The GAN training loop the reference implies but does not ship.
+
+The reference repo carries every training component (three discriminator
+families, losses, EMA codebook, dataset, AdamW hyperparams in
+train_config.json) but no train.py (SURVEY §1).  This module supplies it,
+TPU-first:
+
+* one jitted ``train_step`` doing the D update then the G update (HiFiGAN
+  two-forward ordering), with the EMA codebook transition inside the G forward
+  exactly once per step — as a functional state update, not a buffer mutation
+  (reference semantics: vector_quantize_pytorch.py:508-531);
+* data parallelism by sharding the batch along a ``data`` mesh axis with
+  NamedSharding — the EMA count/sum reductions and gradient means are written
+  as global reductions so GSPMD inserts the ICI all-reduces (the reference's
+  explicit NCCL all_reduce calls, dist_utils.py:18, vq:518/:523);
+* AdamW(2e-4, betas .5/.9, wd 1e-3) with 0.98/epoch decay
+  (train_config.json:2-8).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Callable
+
+import flax.linen as nn
+import flax.struct
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..codec import DistilCodecModule
+from ..config import CodecConfig, TrainConfig
+from ..models.discriminators import (
+    MultiPeriodDiscriminator,
+    MultiScaleDiscriminator,
+)
+from ..models.msstftd import MultiScaleSTFTDiscriminator
+from .losses import (
+    codebook_metrics,
+    discriminator_loss,
+    feature_loss,
+    generator_loss,
+    mel_l1_loss,
+)
+
+
+class Discriminators(nn.Module):
+    """MPD + MSD + MS-STFT under one parameter tree, configured from
+    model_config.json's ``descriminators`` section."""
+
+    cfg: CodecConfig
+
+    @nn.compact
+    def __call__(self, y: jnp.ndarray, y_hat: jnp.ndarray, *, update_stats: bool = False):
+        d = self.cfg.descriminators or {}
+        mpd_cfg = d.get("MultiPeriodDiscriminator", {})
+        msstft_cfg = d.get("MultiScaleSTFTDiscriminator", {})
+
+        mpd = MultiPeriodDiscriminator(
+            periods=tuple(mpd_cfg.get("periods", (2, 3, 5, 7, 11))),
+            kernel_size=mpd_cfg.get("kernal_size", 5),
+            stride=mpd_cfg.get("stride", 3),
+            name="mpd",
+        )
+        # MSD always uses the torch-default architecture (the reference's
+        # config branch is inverted/dead — descriminators.py:273-282)
+        msd = MultiScaleDiscriminator(name="msd")
+        msstft = MultiScaleSTFTDiscriminator(
+            filters=msstft_cfg.get("filters", 32),
+            n_ffts=tuple(msstft_cfg.get("n_ffts", (1024, 2048, 512, 256, 128))),
+            hop_lengths=tuple(msstft_cfg.get("hop_lengths", (256, 512, 128, 64, 32))),
+            win_lengths=tuple(msstft_cfg.get("win_lengths", (1024, 2048, 512, 256, 128))),
+            name="msstft",
+        )
+
+        p_rs, p_gs, p_fr, p_fg = mpd(y, y_hat)
+        s_rs, s_gs, s_fr, s_fg = msd(y, y_hat, update_stats=update_stats)
+        st_r, st_fr = msstft(y)
+        st_g, st_fg = msstft(y_hat)
+        return {
+            "mpd": (p_rs, p_gs, p_fr, p_fg),
+            "msd": (s_rs, s_gs, s_fr, s_fg),
+            "msstft": (st_r, st_g, st_fr, st_fg),
+        }
+
+
+@flax.struct.dataclass
+class CodecTrainState:
+    step: jnp.ndarray
+    gen_params: Any
+    codebook: Any
+    gen_opt_state: Any
+    disc_params: Any
+    spectral: Any
+    disc_opt_state: Any
+
+
+@dataclasses.dataclass
+class Trainer:
+    """Builds jitted train/eval steps for a codec + discriminator pair."""
+
+    codec_cfg: CodecConfig
+    train_cfg: TrainConfig
+    steps_per_epoch: int = 1000
+    mel_loss_weight: float = 45.0  # HiFiGAN-lineage weight (see losses.py)
+
+    def __post_init__(self):
+        self.module = DistilCodecModule(self.codec_cfg)
+        self.disc = Discriminators(self.codec_cfg)
+        adam = self.train_cfg.adam
+        schedule = lambda step: adam.learning_rate * (
+            adam.lr_decay ** (step // self.steps_per_epoch)
+        )
+        self.gen_tx = optax.adamw(
+            schedule,
+            b1=adam.adam_b1,
+            b2=adam.adam_b2,
+            weight_decay=adam.weight_decay,
+        )
+        self.disc_tx = optax.adamw(
+            schedule,
+            b1=adam.adam_b1,
+            b2=adam.adam_b2,
+            weight_decay=adam.weight_decay,
+        )
+
+    # ------------------------------------------------------------------ init
+
+    def init_state(self, rng: jax.Array, segment_len: int | None = None) -> CodecTrainState:
+        segment_len = segment_len or self.codec_cfg.spec.segment_size
+        audio = jnp.zeros((1, segment_len))
+        rng_g, rng_d = jax.random.split(rng)
+        gen_vars = self.module.init(rng_g, audio)
+        wave_len = self._gen_len(segment_len)
+        dvars = self.disc.init(
+            rng_d, audio[:, :wave_len], audio[:, :wave_len]
+        )
+        return CodecTrainState(
+            step=jnp.zeros((), jnp.int32),
+            gen_params=gen_vars["params"],
+            codebook=gen_vars["codebook"],
+            gen_opt_state=self.gen_tx.init(gen_vars["params"]),
+            disc_params=dvars["params"],
+            spectral=dvars.get("spectral", {}),
+            disc_opt_state=self.disc_tx.init(dvars["params"]),
+        )
+
+    def init_state_from_codec_variables(
+        self, rng: jax.Array, variables: dict, segment_len: int | None = None
+    ) -> CodecTrainState:
+        """Distillation / resume init: inherit encoder/decoder/quantizer
+        weights (train_config.json:46-51 ``is_distill`` semantics)."""
+        state = self.init_state(rng, segment_len)
+        return state.replace(
+            gen_params=variables["params"],
+            codebook=variables["codebook"],
+            gen_opt_state=self.gen_tx.init(variables["params"]),
+        )
+
+    def _gen_len(self, segment_len: int) -> int:
+        spec = self.codec_cfg.spec
+        frames = 1 + (segment_len + spec.win_size - spec.hop_size - spec.win_size) // spec.hop_size
+        return frames * spec.hop_size
+
+    # ------------------------------------------------------------ train step
+
+    def _gen_forward(self, params, codebook, audio, rngs, update_ema: bool):
+        variables = {"params": params, "codebook": codebook}
+        out, mutated = self.module.apply(
+            variables,
+            audio,
+            training=True,
+            update_ema=update_ema,
+            rngs=rngs,
+            mutable=["codebook"],
+        )
+        y_hat, result = out
+        return y_hat, result, mutated["codebook"]
+
+    def train_step(self, state: CodecTrainState, audio: jnp.ndarray, rng: jax.Array):
+        """One GAN step on a (B, segment) audio batch.  Returns (state, metrics)."""
+        tcfg = self.train_cfg
+        rng_d, rng_g, rng_step = jax.random.split(rng, 3)
+        wave_len = self._gen_len(audio.shape[-1])
+        y = audio[:, :wave_len]
+
+        # ---------------- D step (generator output detached; no EMA update)
+        y_hat_ng, _, _ = self._gen_forward(
+            jax.lax.stop_gradient(state.gen_params),
+            state.codebook,
+            audio,
+            {"droppath": rng_d},
+            update_ema=False,
+        )
+        y_hat_ng = jax.lax.stop_gradient(y_hat_ng)
+
+        def d_loss_fn(disc_params):
+            outs, mutated = self.disc.apply(
+                {"params": disc_params, "spectral": state.spectral},
+                y,
+                y_hat_ng,
+                update_stats=True,
+                mutable=["spectral"],
+            )
+            loss = 0.0
+            parts = {}
+            for name, pack in outs.items():
+                rs, gs = pack[0], pack[1]
+                l, _, _ = discriminator_loss(rs, gs)
+                parts[f"d_loss/{name}"] = l
+                loss += l
+            return loss, (parts, mutated["spectral"])
+
+        (d_loss, (d_parts, new_spectral)), d_grads = jax.value_and_grad(
+            d_loss_fn, has_aux=True
+        )(state.disc_params)
+        d_updates, new_d_opt = self.disc_tx.update(
+            d_grads, state.disc_opt_state, state.disc_params
+        )
+        new_disc_params = optax.apply_updates(state.disc_params, d_updates)
+
+        # ---------------- G step (fresh forward; EMA update happens here)
+        def g_loss_fn(gen_params):
+            y_hat, result, new_codebook = self._gen_forward(
+                gen_params, state.codebook, audio, {"droppath": rng_g}, update_ema=True
+            )
+            outs = self.disc.apply(
+                {"params": new_disc_params, "spectral": new_spectral},
+                y,
+                y_hat,
+                update_stats=False,
+            )
+            adv = 0.0
+            fm = 0.0
+            for name, pack in outs.items():
+                gs = pack[1]
+                fr, fg = pack[2], pack[3]
+                l_adv, _ = generator_loss(gs)
+                adv += l_adv
+                fm += feature_loss(fr, fg)
+
+            mel_real = self.module.apply(
+                {"params": gen_params, "codebook": state.codebook},
+                y,
+                method="mel",
+            )
+            mel_gen = self.module.apply(
+                {"params": gen_params, "codebook": state.codebook},
+                y_hat,
+                method="mel",
+            )
+            mel_loss = mel_l1_loss(mel_real, mel_gen)
+
+            vq_loss = (
+                tcfg.codebook_loss_lambda * result.codebook_diversity_loss
+                + tcfg.commitment_loss_lambda * result.commitment_loss
+            )
+            total = adv + fm + self.mel_loss_weight * mel_loss + vq_loss
+            aux = {
+                "g_loss/adv": adv,
+                "g_loss/feature_matching": fm,
+                "g_loss/mel_l1": mel_loss,
+                "g_loss/vq_commitment": result.commitment_loss,
+                "g_loss/vq_diversity": result.codebook_diversity_loss,
+                "g_loss/total": total,
+            }
+            return total, (aux, new_codebook, result.codes)
+
+        (g_loss, (g_parts, new_codebook, codes)), g_grads = jax.value_and_grad(
+            g_loss_fn, has_aux=True
+        )(state.gen_params)
+        g_updates, new_g_opt = self.gen_tx.update(
+            g_grads, state.gen_opt_state, state.gen_params
+        )
+        new_gen_params = optax.apply_updates(state.gen_params, g_updates)
+
+        metrics = {"d_loss/total": d_loss, **d_parts, **g_parts}
+        metrics.update(
+            codebook_metrics(codes, self.codec_cfg.quantizer.codebook_size)
+        )
+
+        new_state = CodecTrainState(
+            step=state.step + 1,
+            gen_params=new_gen_params,
+            codebook=new_codebook,
+            gen_opt_state=new_g_opt,
+            disc_params=new_disc_params,
+            spectral=new_spectral,
+            disc_opt_state=new_d_opt,
+        )
+        return new_state, metrics
+
+    # ------------------------------------------------------------- eval step
+
+    def eval_step(self, state: CodecTrainState, audio: jnp.ndarray):
+        """Validation: multi-resolution mel L1 (the reference's
+        init_multi_mel_transforms x{1,2,1/2,1/4} validation losses,
+        meldataset.py:304-323) + codebook metrics."""
+        from ..dsp.mel import LogMelSpectrogram
+
+        wave_len = self._gen_len(audio.shape[-1])
+        y = audio[:, :wave_len]
+        variables = {"params": state.gen_params, "codebook": state.codebook}
+        y_hat, result = self.module.apply(variables, audio)
+        y_hat = y_hat[:, : y.shape[-1]]
+        spec = self.codec_cfg.spec
+        metrics = {}
+        total = 0.0
+        for tag, mult in (("x1", 1), ("x2", 2), ("x0.5", 0.5), ("x0.25", 0.25)):
+            mel = LogMelSpectrogram(
+                sample_rate=spec.sampling_rate,
+                n_fft=int(spec.n_fft * mult),
+                win_length=int(spec.win_size * mult),
+                hop_length=int(spec.hop_size * mult),
+                n_mels=spec.num_mels,
+                f_min=spec.fmin,
+                f_max=spec.fmax,
+            )
+            l = mel_l1_loss(mel(y), mel(y_hat))
+            metrics[f"val/mel_l1_{tag}"] = l
+            total += l
+        metrics["val/mel_l1_total"] = total
+        metrics.update(
+            {
+                f"val/{k}": v
+                for k, v in codebook_metrics(
+                    result.codes, self.codec_cfg.quantizer.codebook_size
+                ).items()
+            }
+        )
+        return metrics
+
+    # ------------------------------------------------------- jit + sharding
+
+    def jit_train_step(self, mesh=None) -> Callable:
+        """jit the train step; with a mesh, shard the batch along 'data' and
+        replicate the state (GSPMD inserts all collectives)."""
+        if mesh is None:
+            return jax.jit(self.train_step)
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        replicated = NamedSharding(mesh, P())
+        batch_sharded = NamedSharding(mesh, P("data"))
+        return jax.jit(
+            self.train_step,
+            in_shardings=(replicated, batch_sharded, replicated),
+            out_shardings=(replicated, replicated),
+        )

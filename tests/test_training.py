@@ -1,0 +1,140 @@
+"""Training subsystem tests: one GAN step runs, losses are finite, the EMA
+codebook actually moves, and the data-parallel sharded step matches the
+single-device step."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from distilcodec_nabeel_tpu.config import CodecConfig, TrainConfig
+from distilcodec_nabeel_tpu.training.train import Trainer
+from test_codec_facade import MINI_CONFIG
+
+
+def mini_train_cfg():
+    return TrainConfig.from_dict(
+        {
+            "adam": {
+                "learning_rate": 2e-4,
+                "adam_b1": 0.5,
+                "adam_b2": 0.9,
+                "lr_decay": 0.98,
+                "weight_decay": 1e-3,
+            },
+            "batch_size": 2,
+            "codebook_loss_lambda": 1.0,
+            "commitment_loss_lambda": 0.25,
+        }
+    )
+
+
+def mini_codec_cfg():
+    cfg = dict(MINI_CONFIG)
+    cfg["descriminators"] = {
+        "MultiPeriodDiscriminator": {
+            "periods": [2, 3],
+            "kernal_size": 5,
+            "stride": 3,
+        },
+        "MultiScaleSTFTDiscriminator": {
+            "filters": 8,
+            "n_ffts": [256, 128],
+            "hop_lengths": [64, 32],
+            "win_lengths": [256, 128],
+        },
+    }
+    return CodecConfig.from_dict(cfg)
+
+
+@pytest.fixture(scope="module")
+def trainer():
+    return Trainer(mini_codec_cfg(), mini_train_cfg(), steps_per_epoch=10)
+
+
+@pytest.fixture(scope="module")
+def state(trainer):
+    return trainer.init_state(jax.random.PRNGKey(0), segment_len=2048)
+
+
+def test_one_train_step(trainer, state, rng):
+    audio = jnp.asarray(
+        rng.standard_normal((2, 2048)).astype(np.float32) * 0.1
+    )
+    step = jax.jit(trainer.train_step)
+    new_state, metrics = step(state, audio, jax.random.PRNGKey(1))
+    for k, v in metrics.items():
+        assert np.isfinite(np.asarray(v)).all(), k
+    assert int(new_state.step) == 1
+    # EMA moved the codebook
+    cb_old = jax.tree_util.tree_leaves(state.codebook)[0]
+    cb_new = jax.tree_util.tree_leaves(new_state.codebook)[0]
+    assert not np.allclose(np.asarray(cb_old), np.asarray(cb_new))
+    # discriminator + generator params changed
+    g_old = jax.tree_util.tree_leaves(state.gen_params)[0]
+    g_new = jax.tree_util.tree_leaves(new_state.gen_params)[0]
+    assert not np.allclose(np.asarray(g_old), np.asarray(g_new))
+
+
+def test_ema_update_statistics(trainer, state, rng):
+    """EMA transition: cluster sizes must decay toward batch counts with
+    decay 0.8 (vector_quantize_pytorch.py:519 semantics)."""
+    audio = jnp.asarray(
+        rng.standard_normal((2, 2048)).astype(np.float32) * 0.1
+    )
+    new_state, _ = jax.jit(trainer.train_step)(
+        state, audio, jax.random.PRNGKey(1)
+    )
+    cs_old = np.asarray(
+        state.codebook["quantizer"]["grvq"]["rvqs_0"]["layers_0"]["cluster_size"]
+    )
+    cs_new = np.asarray(
+        new_state.codebook["quantizer"]["grvq"]["rvqs_0"]["layers_0"][
+            "cluster_size"
+        ]
+    )
+    n_tokens = 2 * (2048 // 64)
+    # counts sum to n_tokens; new = 0.8*old + 0.2*counts
+    np.testing.assert_allclose(
+        cs_new.sum(), 0.8 * cs_old.sum() + 0.2 * n_tokens, rtol=1e-5
+    )
+
+
+def test_eval_step(trainer, state, rng):
+    audio = jnp.asarray(
+        rng.standard_normal((2, 2048)).astype(np.float32) * 0.1
+    )
+    metrics = jax.jit(trainer.eval_step)(state, audio)
+    assert np.isfinite(np.asarray(metrics["val/mel_l1_total"]))
+    assert 0 <= float(metrics["val/codebook_usage"]) <= 1
+
+
+def test_data_parallel_step_matches_single(trainer, state, rng):
+    """Sharding the batch over the 8-CPU mesh must reproduce the unsharded
+    step (EMA psums + gradient all-reduces inserted by GSPMD)."""
+    from jax.sharding import Mesh
+
+    audio = jnp.asarray(
+        rng.standard_normal((8, 2048)).astype(np.float32) * 0.1
+    )
+    rng_key = jax.random.PRNGKey(2)
+    ref_state, ref_metrics = jax.jit(trainer.train_step)(state, audio, rng_key)
+
+    mesh = Mesh(np.array(jax.devices()[:8]), ("data",))
+    sharded_step = trainer.jit_train_step(mesh)
+    dp_state, dp_metrics = sharded_step(state, audio, rng_key)
+
+    np.testing.assert_allclose(
+        np.asarray(ref_metrics["g_loss/total"]),
+        np.asarray(dp_metrics["g_loss/total"]),
+        rtol=2e-3,
+        atol=2e-3,
+    )
+    cb_ref = np.asarray(
+        ref_state.codebook["quantizer"]["grvq"]["rvqs_0"]["layers_0"]["embed"]
+    )
+    cb_dp = np.asarray(
+        dp_state.codebook["quantizer"]["grvq"]["rvqs_0"]["layers_0"]["embed"]
+    )
+    np.testing.assert_allclose(cb_ref, cb_dp, rtol=1e-3, atol=1e-3)
