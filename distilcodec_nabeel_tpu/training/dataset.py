@@ -1,0 +1,283 @@
+"""Training data pipeline.
+
+Behavioral twin of the reference dataset layer
+(distilcodec/models/meldataset.py:49-301): recursive directory scans with an
+optional process pool over third-level directories, replay-rate mixture
+sampling of earlier training stages, interleaved validation lists capped at
+500, random 3-second crops (segment_size=72000) with zero-padding of short
+clips, low-amplitude-noise fallback for undecodable files, and an
+n_cache_reuse wav cache.
+
+TPU-first difference: items are raw audio crops; the log-mel transform runs
+*inside* the jitted train step on device (it is two MXU matmuls there),
+instead of per-item on dataloader CPUs.  A ``PrefetchLoader`` overlaps host
+IO with device steps using a thread pool (num_workers, train_config.json:66).
+"""
+
+from __future__ import annotations
+
+import os
+import random
+import time
+from concurrent.futures import ThreadPoolExecutor
+from itertools import zip_longest
+from multiprocessing import Pool
+
+import numpy as np
+
+from ..utils.audio_io import load_wav
+
+
+# --------------------------------------------------------------- file scans
+
+
+def get_third_level_directories(directory: str) -> list[str]:
+    out = []
+    for l1 in os.scandir(directory):
+        if not l1.is_dir():
+            continue
+        for l2 in os.scandir(l1.path):
+            if not l2.is_dir():
+                continue
+            for l3 in os.scandir(l2.path):
+                if l3.is_dir():
+                    out.append(l3.path)
+    return out
+
+
+def get_files_in_directory(directory: str) -> list[str]:
+    files = []
+    for root, _, names in os.walk(directory):
+        for name in names:
+            files.append(os.path.join(root, name))
+    return files
+
+
+def get_all_files_mp(directory: str, nprocess: int = 4) -> list[str]:
+    """4-process scan over third-level dirs (meldataset.py:49-74)."""
+    third = get_third_level_directories(directory)
+    with Pool(nprocess) as pool:
+        results = pool.map(get_files_in_directory, third)
+    all_files = []
+    for root, _, names in os.walk(directory):
+        depth = root[len(directory) :].count(os.sep)
+        if depth < 3:
+            for name in names:
+                all_files.append(os.path.join(root, name))
+    for lst in results:
+        all_files.extend(lst)
+    return all_files
+
+
+def get_all_files_path(
+    directory: str, desc: str = "", is_mp: bool = False, suffix: str = ".wav"
+) -> list[str]:
+    if desc:
+        print(desc)
+    start = time.time()
+    if is_mp:
+        files = get_all_files_mp(directory)
+    else:
+        files = []
+        for root, _, names in os.walk(directory):
+            for name in names:
+                if name.endswith(suffix):
+                    files.append(os.path.join(root, name))
+    print(f"Scanning files of [{directory}] takes {time.time() - start:.2f}s")
+    return files
+
+
+def get_training_files(training_config: dict, suffix: str = ".wav") -> list[str]:
+    """Replay-rate mixture of prior stages + current stage
+    (meldataset.py:94-141, train_config.json:16-38)."""
+    training_files: list[str] = []
+    paths_cfg = training_config["training_files_path"]
+    if isinstance(paths_cfg, dict):
+        for i, ele in enumerate(paths_cfg.get("replay_training_file_pathes", [])):
+            path_t, rate = ele["path"], ele["replay_rate"]
+            files_t = get_all_files_path(
+                path_t,
+                desc=f"Scanning replay path: {path_t}, Replay-Rate: {rate}",
+                suffix=suffix,
+            )
+            random.shuffle(files_t)
+            sample_len = int(len(files_t) * rate)
+            training_files.extend(files_t[:sample_len])
+        current = paths_cfg.get("current_training_file_pathes", [])
+        if isinstance(current, str):
+            current = [current]
+        for p in current:
+            training_files.extend(
+                get_all_files_path(p, desc=f"Scanning Training Data: {p}", suffix=suffix)
+            )
+    elif isinstance(paths_cfg, list):
+        for p in paths_cfg:
+            training_files.extend(
+                get_all_files_path(p, desc=f"Scanning Training Data: {p}", suffix=suffix)
+            )
+    elif isinstance(paths_cfg, str):
+        training_files.extend(
+            get_all_files_path(
+                paths_cfg, desc=f"Scanning Training Data: {paths_cfg}", suffix=suffix
+            )
+        )
+    else:
+        raise ValueError("Training pathes configuration error")
+    random.shuffle(training_files)
+    return training_files
+
+
+def interleave_arrays(*arrays) -> list:
+    out = []
+    for elements in zip_longest(*arrays, fillvalue=None):
+        out.extend(e for e in elements if e is not None)
+    return out
+
+
+def get_validation_files(
+    training_config: dict,
+    total_validation_number: int = 500,
+    is_shuffle: bool = True,
+    suffix: str = ".wav",
+) -> list[str]:
+    """(meldataset.py:154-177)."""
+    valid_path = training_config["validation_files_path"]
+    if isinstance(valid_path, list):
+        lists = []
+        for i, p in enumerate(valid_path):
+            files_t = get_all_files_path(
+                p, desc=f"Scanning validation file path: {p}", suffix=suffix
+            )
+            if i > 0 and is_shuffle:
+                random.shuffle(files_t)
+            lists.append(files_t)
+        validation_files = interleave_arrays(*lists)
+    elif isinstance(valid_path, str):
+        validation_files = get_all_files_path(
+            valid_path, desc=f"Scanning validation file path: {valid_path}", suffix=suffix
+        )
+    else:
+        raise ValueError("Validation pathes configuration error")
+    return validation_files[:total_validation_number]
+
+
+def get_dataset_filelist(training_config: dict, suffix: str = ".wav"):
+    training_files = get_training_files(training_config, suffix=suffix)
+    print(f"Training files: {len(training_files)}")
+    validation_files = get_validation_files(training_config, suffix=suffix)
+    print(f"Validation files: {len(validation_files)}")
+    return training_files, validation_files
+
+
+# ------------------------------------------------------------------ dataset
+
+
+class AudioCropDataset:
+    """Random-crop audio dataset (meldataset.py:190-301 minus the on-CPU mel,
+    which lives in the jitted train step here)."""
+
+    def __init__(
+        self,
+        training_files: list[str],
+        segment_size: int,
+        sampling_rate: int,
+        split: bool = True,
+        shuffle: bool = True,
+        n_cache_reuse: int = 1,
+        seed: int = 1234,
+    ):
+        self.audio_files = list(training_files)
+        self._rng = random.Random(seed)
+        if shuffle:
+            self._rng.shuffle(self.audio_files)
+        self.segment_size = segment_size
+        self.sampling_rate = sampling_rate
+        self.split = split
+        self.n_cache_reuse = n_cache_reuse
+        self._cached_wav = None
+        self._cache_ref_count = 0
+
+    def __len__(self):
+        return len(self.audio_files)
+
+    def __getitem__(self, index: int) -> np.ndarray:
+        filename = self.audio_files[index]
+        if self._cache_ref_count == 0:
+            try:
+                audio, sr = load_wav(filename, sr=self.sampling_rate)
+            except Exception:
+                # corrupted-audio resilience: low-amplitude noise
+                # (meldataset.py:243-246)
+                print(f"Error on audio: {filename}")
+                audio = (
+                    np.random.normal(size=(self.sampling_rate,)) * 0.05
+                ).astype(np.float32)
+            self._cached_wav = audio
+            self._cache_ref_count = self.n_cache_reuse
+        else:
+            audio = self._cached_wav
+            self._cache_ref_count -= 1
+
+        if self.split:
+            if audio.shape[-1] >= self.segment_size:
+                start = self._rng.randint(
+                    0, audio.shape[-1] - self.segment_size
+                )
+                audio = audio[start : start + self.segment_size]
+            else:
+                audio = np.pad(
+                    audio, (0, self.segment_size - audio.shape[-1])
+                )
+        return audio.astype(np.float32)
+
+
+class PrefetchLoader:
+    """Thread-pooled batcher: yields (B, segment) float32 arrays, overlapping
+    file IO with device compute (num_workers, train_config.json:66)."""
+
+    def __init__(
+        self,
+        dataset: AudioCropDataset,
+        batch_size: int,
+        num_workers: int = 4,
+        shuffle: bool = True,
+        seed: int = 1234,
+        drop_last: bool = True,
+    ):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.num_workers = max(1, num_workers)
+        self.shuffle = shuffle
+        self.seed = seed
+        self.drop_last = drop_last
+        self._epoch = 0
+
+    def __len__(self):
+        n = len(self.dataset)
+        return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
+
+    def __iter__(self):
+        order = list(range(len(self.dataset)))
+        if self.shuffle:
+            random.Random(self.seed + self._epoch).shuffle(order)
+        self._epoch += 1
+        with ThreadPoolExecutor(self.num_workers) as pool:
+            batches = [
+                order[i : i + self.batch_size]
+                for i in range(0, len(order), self.batch_size)
+            ]
+            if self.drop_last:
+                batches = [b for b in batches if len(b) == self.batch_size]
+            # prefetch two batches ahead
+            futures = []
+            idx = 0
+
+            def submit(batch_ids):
+                return [pool.submit(self.dataset.__getitem__, i) for i in batch_ids]
+
+            while idx < len(batches) or futures:
+                while idx < len(batches) and len(futures) < 2:
+                    futures.append(submit(batches[idx]))
+                    idx += 1
+                batch_futs = futures.pop(0)
+                yield np.stack([f.result() for f in batch_futs])

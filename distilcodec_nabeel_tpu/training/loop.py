@@ -1,0 +1,214 @@
+"""End-to-end training driver (the train.py the reference never shipped).
+
+Wires dataset -> jitted GAN step -> checkpoints/metrics with the
+train_config.json schedule: checkpoint_interval 1000, validation_interval
+2000, summary_interval 10, keep-last-30 (train_config.json:53-58), distill
+init from a teacher checkpoint (``distill.is_distill``, :46-51).
+
+Run: ``python -m distilcodec_nabeel_tpu.training.loop <model_config.json>
+<train_config.json>``.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import CodecConfig, TrainConfig, load_model_config, load_train_config
+from ..utils import checkpoint as ckpt_utils
+from ..utils.logging import MetricsLogger, StepTimer, print_rank_0
+from .dataset import AudioCropDataset, PrefetchLoader, get_dataset_filelist
+from .train import CodecTrainState, Trainer
+
+
+def make_data_mesh():
+    """All visible devices on one ``data`` axis (multi-host ready: under
+    jax.distributed.initialize, jax.devices() spans hosts)."""
+    from jax.sharding import Mesh
+
+    devs = np.array(jax.devices())
+    return Mesh(devs, ("data",))
+
+
+def run_training(
+    codec_cfg: CodecConfig,
+    train_cfg: TrainConfig,
+    *,
+    training_files: list[str] | None = None,
+    validation_files: list[str] | None = None,
+    max_steps: int | None = None,
+    use_mesh: bool = True,
+    log_dir: str | None = None,
+):
+    if training_files is None or validation_files is None:
+        training_files, validation_files = get_dataset_filelist(
+            {
+                "training_files_path": train_cfg.training_files_path,
+                "validation_files_path": train_cfg.validation_files_path,
+            }
+        )
+
+    dataset = AudioCropDataset(
+        training_files,
+        segment_size=codec_cfg.spec.segment_size,
+        sampling_rate=codec_cfg.spec.sampling_rate,
+        seed=train_cfg.seed,
+    )
+    loader = PrefetchLoader(
+        dataset,
+        batch_size=train_cfg.batch_size,
+        num_workers=train_cfg.num_workers,
+        seed=train_cfg.seed,
+    )
+    steps_per_epoch = max(1, len(loader))
+    trainer = Trainer(codec_cfg, train_cfg, steps_per_epoch=steps_per_epoch)
+
+    rng = jax.random.PRNGKey(train_cfg.seed)
+    state = trainer.init_state(rng)
+
+    # distillation init (train_config.json:46-51): student inherits teacher
+    # encoder/decoder params from a reference-format checkpoint
+    distill = train_cfg.distill or {}
+    if distill.get("is_distill") and distill.get("teacher_ckpt_path"):
+        teacher_path = ckpt_utils.scan_checkpoint(
+            distill["teacher_ckpt_path"], "g_"
+        )
+        if teacher_path:
+            from ..utils.torch_import import (
+                convert_codec_checkpoint,
+                load_torch_checkpoint,
+            )
+
+            print_rank_0(f"Distill init from teacher: {teacher_path}")
+            teacher_vars = convert_codec_checkpoint(
+                load_torch_checkpoint(teacher_path), codec_cfg
+            )
+            gen_params = dict(state.gen_params)
+            for k in ("encoder", "generator"):
+                if k in teacher_vars["params"]:
+                    gen_params[k] = jax.tree_util.tree_map(
+                        jnp.asarray, teacher_vars["params"][k]
+                    )
+            if distill.get("quantizer_transfer"):
+                gen_params["quantizer"] = jax.tree_util.tree_map(
+                    jnp.asarray, teacher_vars["params"]["quantizer"]
+                )
+                state = state.replace(
+                    codebook=jax.tree_util.tree_map(
+                        jnp.asarray, teacher_vars["codebook"]
+                    )
+                )
+            state = state.replace(
+                gen_params=gen_params,
+                gen_opt_state=trainer.gen_tx.init(gen_params),
+            )
+
+    # resume from newest orbax state if present
+    save_path = train_cfg.save_path
+    restored = ckpt_utils.restore_train_state(save_path, state)
+    if restored is not None:
+        state = restored
+        print_rank_0(f"Resumed from step {int(state.step)}")
+
+    mesh = make_data_mesh() if use_mesh else None
+    step_fn = trainer.jit_train_step(mesh)
+    eval_fn = jax.jit(trainer.eval_step)
+
+    logger = MetricsLogger(
+        log_dir or os.path.join(save_path, "logs"),
+        use_wandb=bool((train_cfg.wandb or {}).get("use_wandb")),
+        wandb_cfg=train_cfg.wandb,
+    )
+    timer = StepTimer()
+
+    val_batches = []
+    if validation_files:
+        val_ds = AudioCropDataset(
+            validation_files,
+            segment_size=codec_cfg.spec.segment_size,
+            sampling_rate=codec_cfg.spec.sampling_rate,
+            seed=train_cfg.seed,
+        )
+        n_val = min(len(val_ds), 4 * train_cfg.batch_size)
+        for i in range(0, n_val, train_cfg.batch_size):
+            idx = list(range(i, min(i + train_cfg.batch_size, n_val)))
+            if len(idx) == train_cfg.batch_size:
+                val_batches.append(np.stack([val_ds[j] for j in idx]))
+
+    step = int(state.step)
+    rng_step = jax.random.fold_in(rng, 1234)
+    done = False
+    for epoch in range(train_cfg.training_epochs):
+        if done:
+            break
+        for batch in loader:
+            t0 = time.perf_counter()
+            rng_step = jax.random.fold_in(rng_step, step)
+            state, metrics = step_fn(state, jnp.asarray(batch), rng_step)
+            step += 1
+
+            if step % train_cfg.summary_interval == 0:
+                jax.block_until_ready(metrics)
+                dt = time.perf_counter() - t0
+                metrics = dict(metrics)
+                metrics["perf/step_time_s"] = dt
+                metrics["perf/audio_seconds_per_s"] = (
+                    batch.shape[0]
+                    * batch.shape[1]
+                    / codec_cfg.spec.sampling_rate
+                    / dt
+                )
+                logger.log(metrics, step)
+            if step % train_cfg.stdout_interval == 0:
+                print_rank_0(
+                    f"epoch {epoch} step {step}: "
+                    f"g={float(metrics['g_loss/total']):.3f} "
+                    f"d={float(metrics['d_loss/total']):.3f}"
+                )
+            if step % train_cfg.validation_interval == 0 and val_batches:
+                val_metrics = {}
+                for vb in val_batches:
+                    m = eval_fn(state, jnp.asarray(vb))
+                    for k, v in m.items():
+                        val_metrics.setdefault(k, []).append(float(v))
+                logger.log(
+                    {k: float(np.mean(v)) for k, v in val_metrics.items()}, step
+                )
+            if step % train_cfg.checkpoint_interval == 0:
+                ckpt_utils.save_train_state(
+                    save_path, step, state, train_cfg.num_ckpt_keep
+                )
+                ckpt_utils.save_reference_checkpoint(
+                    save_path,
+                    step,
+                    {
+                        "params": state.gen_params,
+                        "codebook": state.codebook,
+                    },
+                    codec_cfg,
+                    train_cfg.num_ckpt_keep,
+                )
+            if max_steps is not None and step >= max_steps:
+                done = True
+                break
+
+    logger.close()
+    return state
+
+
+def main(argv=None):
+    argv = argv or sys.argv[1:]
+    model_config_path = argv[0] if argv else "configs/model_config.json"
+    train_config_path = argv[1] if len(argv) > 1 else "configs/train_config.json"
+    codec_cfg = load_model_config(model_config_path)
+    train_cfg = load_train_config(train_config_path)
+    run_training(codec_cfg, train_cfg)
+
+
+if __name__ == "__main__":
+    main()
