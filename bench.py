@@ -1,0 +1,176 @@
+"""Throughput benchmark: encode+decode round trip on the flagship full-size
+codec, reported as audio-seconds processed per wall-clock second per chip.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+``vs_baseline`` compares against the reference PyTorch implementation measured
+on this host (the reference repo publishes no machine-performance numbers —
+BASELINE.md; its CUDA path has no GPU here, so the baseline is torch-CPU,
+measured once by ``python bench.py --measure-baseline`` and cached in
+bench_baseline.json).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+BASELINE_FILE = os.path.join(os.path.dirname(__file__), "bench_baseline.json")
+SECONDS = 10.0
+BATCH = 8
+SR = 24000
+
+
+def bench_ours(iters: int = 10) -> dict:
+    import jax
+    import jax.numpy as jnp
+
+    from distilcodec_nabeel_tpu import DistilCodec
+
+    with open("/root/reference/configs/model_config.json") as f:
+        cfg = json.load(f)
+    codec = DistilCodec(cfg)
+
+    n_samples = int(SECONDS * SR)
+    rng = np.random.default_rng(0)
+    audio = jnp.asarray(
+        rng.standard_normal((BATCH, n_samples + 1)).astype(np.float32) * 0.1
+    )
+
+    encode = jax.jit(
+        lambda v, a: codec.module.apply(v, a, method="encode_codes")
+    )
+    decode = jax.jit(
+        lambda v, c: codec.module.apply(v, c, method="decode_codes")
+    )
+
+    codes_flat = encode(codec.variables, audio)  # (B, G*R, L)
+    jax.block_until_ready(codes_flat)
+    g, r = cfg["quantizer"]["n_groups"], cfg["quantizer"]["n_codebooks"]
+    L = codes_flat.shape[-1]
+    codes = jnp.transpose(
+        codes_flat.reshape(BATCH, g, r, L), (1, 0, 3, 2)
+    )  # (G, B, L, R)
+    wave = decode(codec.variables, codes)
+    jax.block_until_ready(wave)
+
+    # timed loop
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        c = encode(codec.variables, audio)
+        w = decode(codec.variables, codes)
+    jax.block_until_ready((c, w))
+    dt = time.perf_counter() - t0
+
+    audio_seconds = BATCH * SECONDS * iters
+    return {
+        "audio_seconds_per_s": audio_seconds / dt,
+        "wall_s": dt,
+        "iters": iters,
+        "batch": BATCH,
+        "clip_seconds": SECONDS,
+        "n_devices": len(jax.devices()),
+    }
+
+
+def measure_baseline(iters: int = 1) -> dict:
+    """Reference torch implementation, CPU, same workload (run manually)."""
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "tests"))
+    from reference_loader import load_reference
+
+    import torch
+
+    ref = load_reference()
+    with open("/root/reference/configs/model_config.json") as f:
+        cfg = json.load(f)
+
+    enc = ref.models.encoders.ConvNeXtEncoder(
+        input_channels=cfg["encoder"]["input_channels"],
+        depths=cfg["encoder"]["depths"],
+        dims=cfg["encoder"]["dims"],
+        drop_path_rate=cfg["encoder"]["drop_path_rate"],
+        kernel_size=cfg["encoder"]["kernel_size"],
+    ).eval()
+    qcfg = dict(cfg["quantizer"])
+    qcfg.pop("quantizer_type")
+    qcfg.pop("levels", None)
+    quant = ref.vector_quantization.grfvq.DownsampleGRVQ(**qcfg).eval()
+    dcfg = dict(cfg["decoder"])
+    gen = ref.models.generators.HiFiGANGenerator(**dcfg).eval()
+    mel = ref.models.mel_spec.LogMelSpectrogram(
+        sample_rate=SR,
+        n_fft=cfg["spec_transform"]["n_fft"],
+        win_length=cfg["spec_transform"]["win_size"],
+        hop_length=cfg["spec_transform"]["hop_size"],
+        n_mels=cfg["spec_transform"]["num_mels"],
+        f_min=cfg["spec_transform"]["fmin"],
+        f_max=cfg["spec_transform"]["fmax"],
+    )
+
+    n_samples = int(SECONDS * SR)
+    rng = np.random.default_rng(0)
+    audio = torch.from_numpy(
+        rng.standard_normal((BATCH, n_samples + 1)).astype(np.float32) * 0.1
+    )
+
+    with torch.no_grad():
+        # warmup
+        m = mel(audio[:1])
+        e = enc(m)
+        q = quant(e)
+        _ = gen(q.quantized)
+
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            m = mel(audio)
+            e = enc(m)
+            q = quant(e)
+            w = gen(q.quantized)
+        dt = time.perf_counter() - t0
+
+    audio_seconds = BATCH * SECONDS * iters
+    return {
+        "audio_seconds_per_s": audio_seconds / dt,
+        "wall_s": dt,
+        "iters": iters,
+        "hardware": "cpu (reference is CUDA/torch; no GPU on this host)",
+    }
+
+
+def main():
+    if "--measure-baseline" in sys.argv:
+        result = measure_baseline()
+        with open(BASELINE_FILE, "w") as f:
+            json.dump(result, f, indent=2)
+        print(json.dumps(result))
+        return
+
+    ours = bench_ours()
+    baseline_rate = None
+    if os.path.exists(BASELINE_FILE):
+        with open(BASELINE_FILE) as f:
+            baseline_rate = json.load(f).get("audio_seconds_per_s")
+    vs = (
+        ours["audio_seconds_per_s"] / baseline_rate
+        if baseline_rate
+        else None
+    )
+    print(
+        json.dumps(
+            {
+                "metric": "encode+decode round-trip throughput per chip",
+                "value": round(ours["audio_seconds_per_s"], 2),
+                "unit": "audio-seconds/s/chip",
+                "vs_baseline": round(vs, 2) if vs else None,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -145,15 +145,22 @@ class DistilCodec:
 
         self.module = DistilCodecModule(configs, only_quantizer=only_quantizer)
         if variables is None:
+            # init under jit: one compiled program instead of thousands of
+            # eagerly-dispatched init ops (critical on remote-compile TPU)
             dummy = jnp.zeros((1, self.hop_size * 8 * self.ds_factor + 1))
             if only_quantizer:
-                variables = self.module.init(
+                variables = jax.jit(
+                    lambda r, x: self.module.init(
+                        r, x, method=lambda m, y: m.quantizer(y)
+                    )
+                )(
                     jax.random.PRNGKey(seed),
                     jnp.zeros((1, 8, configs.quantizer.input_dim)),
-                    method=lambda m, x: m.quantizer(x),
                 )
             else:
-                variables = self.module.init(jax.random.PRNGKey(seed), dummy)
+                variables = jax.jit(self.module.init)(
+                    jax.random.PRNGKey(seed), dummy
+                )
         self.variables = variables
 
         self._encode_jit = jax.jit(
@@ -169,9 +176,22 @@ class DistilCodec:
             lambda v, a: self.module.apply(v, a)
         )
 
-        self.gr_audio_code2token = self.construct_audio_code(
-            self.tokens_id_offset
-        )
+        # token map is built lazily: it materializes the full codebook on host
+        # (hundreds of MB over the device tunnel) and is only needed by the
+        # token-annotation surfaces, not by encode/decode throughput paths.
+        self._gr_audio_code2token = None
+
+    @property
+    def gr_audio_code2token(self) -> dict:
+        if self._gr_audio_code2token is None:
+            self._gr_audio_code2token = self.construct_audio_code(
+                self.tokens_id_offset
+            )
+        return self._gr_audio_code2token
+
+    @gr_audio_code2token.setter
+    def gr_audio_code2token(self, value):
+        self._gr_audio_code2token = value
 
     # ------------------------------------------------------------------ load
 
@@ -203,9 +223,7 @@ class DistilCodec:
         codec.variables = {"params": params, "codebook": variables["codebook"]}
         codec.g_ckpt_path = model_path
         codec.ckpt_step = -1
-        codec.gr_audio_code2token = codec.construct_audio_code(
-            codec.tokens_id_offset
-        )
+        codec._gr_audio_code2token = None  # rebuild lazily from new codebook
         return codec
 
     # ----------------------------------------------------------- preprocess
@@ -486,9 +504,7 @@ class DistilCodec:
             "params": self.variables["params"],
             "codebook": jax.tree_util.tree_map(jnp.asarray, cb_state),
         }
-        self.gr_audio_code2token = self.construct_audio_code(
-            self.tokens_id_offset
-        )
+        self._gr_audio_code2token = None  # rebuild lazily from new codebook
         if save_path is not None:
             os.makedirs(save_path, exist_ok=True)
             self.save_checkpoint(

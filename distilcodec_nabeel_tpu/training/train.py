@@ -131,9 +131,9 @@ class Trainer:
         segment_len = segment_len or self.codec_cfg.spec.segment_size
         audio = jnp.zeros((1, segment_len))
         rng_g, rng_d = jax.random.split(rng)
-        gen_vars = self.module.init(rng_g, audio)
+        gen_vars = jax.jit(self.module.init)(rng_g, audio)
         wave_len = self._gen_len(segment_len)
-        dvars = self.disc.init(
+        dvars = jax.jit(self.disc.init)(
             rng_d, audio[:, :wave_len], audio[:, :wave_len]
         )
         return CodecTrainState(
