@@ -99,6 +99,11 @@ class DistilCodecModule(nn.Module):
         mel = self.mel(audio)
         return self.quantizer.encode(self.encoder(mel))
 
+    def _encode_from_mel(self, mel: jnp.ndarray) -> jnp.ndarray:
+        """(B, T, n_mels) log-mel -> indices (B, G*R, T).  Used by the
+        time-sharded halo path, which computes mel per shard."""
+        return self.quantizer.encode(self.encoder(mel))
+
     def decode_codes(self, codes: jnp.ndarray) -> jnp.ndarray:
         """codes (G, B, L, R) -> waveform (B, hop*T)."""
         feats = self.quantizer.decode(codes)

@@ -1,0 +1,288 @@
+"""Time-sharded (sequence-parallel) encode/decode with halo exchange.
+
+The model is fully convolutional with a finite receptive field (no attention),
+so long-form audio shards EXACTLY along time: each device processes its chunk
+plus a halo of neighbor frames exchanged over ICI (``jax.lax.ppermute``), then
+crops its center.  This is the SP/CP capability the reference lacks entirely —
+it zero-pads long audio to the batch max and runs it whole on one device
+(reference: distil_codec.py:132-137; SURVEY §5.7).
+
+Exactness scheme (sharded == unsharded bit-for-bit):
+* interior shard boundaries see REAL neighbor samples/codes via halo exchange,
+  reproducing the unsharded interior computation;
+* stream-boundary shards slide their fixed-size extended window *inward*
+  (clamped window + per-device crop offset), so the true stream edge — where
+  the unsharded convs zero-pad — stays the edge of the computation.  No
+  approximation anywhere, just overlap + crop.
+
+Halo sizes derive from receptive fields: encoder = stem(k7: 3) + 18 ConvNeXt
+blocks(k7 depthwise: 3 each) + quantizer downsample block(3) = 60 frames ->
+default 64.  Decoder = conv_pre(6) + upsample stages' resblocks (±90 samples
+at stage s ≈ 90/prod(rates[:s]) frames) + quantizer upsample block(3) ≈ 24 ->
+default 32.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..dsp.stft import frame_signal
+
+
+@dataclasses.dataclass(frozen=True)
+class HaloConfig:
+    encoder_halo_frames: int = 64
+    decoder_halo_frames: int = 32
+
+
+def _encoder_halo_for(cfg) -> int:
+    """Receptive-field-derived encoder halo (frames) for arbitrary configs."""
+    k = cfg.encoder.kernel_size
+    per_block = k // 2
+    n_blocks = sum(cfg.encoder.depths)
+    stem = k // 2
+    quant_ds_block = 3  # ConvNeXtBlock k=7 in the quantizer downsample
+    return stem + n_blocks * per_block + quant_ds_block
+
+
+def _decoder_halo_for(cfg) -> int:
+    """Receptive-field-derived decoder halo (frames)."""
+    halo = cfg.decoder.pre_conv_kernel_size // 2 + 3  # conv_pre + quant upsample block
+    rates = cfg.decoder.upsample_rates
+    prod = 1
+    for i, r in enumerate(rates):
+        prod *= r
+        # resblock RF at this stage in samples-of-stage ≈ sum over conv pairs
+        rf_samples = 0
+        for ks, ds in zip(
+            cfg.decoder.resblock_kernel_sizes, cfg.decoder.resblock_dilation_sizes
+        ):
+            rf_samples = max(
+                rf_samples, sum((ks // 2) * d + ks // 2 for d in ds)
+            )
+        halo += -(-rf_samples // prod)  # ceil to frames
+        halo += -(-(cfg.decoder.upsample_kernel_sizes[i] // prod) // 1)
+    return halo
+
+
+def plan_time_sharding(
+    total_frames: int, n_shards: int, halo: int
+) -> tuple[int, int]:
+    """Returns (frames_per_shard, padded_frames).  Frames are padded up so the
+    count divides n_shards and each chunk dominates its halo."""
+    fh = -(-total_frames // n_shards)
+    fh = max(fh, 2 * halo)  # clamped-window scheme needs chunk >= 2*halo
+    return fh, fh * n_shards
+
+
+class TimeShardedCodec:
+    """Sequence-parallel encode/decode wrapper over a DistilCodecModule.
+
+    Single-stream long-form audio, sharded along a ``time`` mesh axis.
+    Requires ``downsample_factor`` product 1 (the student config).
+    """
+
+    def __init__(self, module, variables, mesh: Mesh, halo: HaloConfig | None = None):
+        cfg = module.cfg
+        assert cfg.quantizer.total_downsample == 1, (
+            "time sharding currently supports ds_factor=1 (student config)"
+        )
+        self.module = module
+        self.variables = variables
+        self.mesh = mesh
+        self.n = mesh.devices.size
+        self.cfg = cfg
+        self.spec = cfg.spec
+        if halo is None:
+            halo = HaloConfig(
+                encoder_halo_frames=max(_encoder_halo_for(cfg), 8),
+                decoder_halo_frames=max(_decoder_halo_for(cfg), 8),
+            )
+        self.halo = halo
+        self._encode_fn = None
+        self._decode_fn = None
+
+    # ------------------------------------------------------------- encoding
+
+    def encode_codes(self, audio: np.ndarray) -> np.ndarray:
+        """audio (L,) -> codes (T, R) with T = ceil-padded frame count.
+
+        The caller gets codes for the zero-padded length; trim to
+        ``L // hop`` frames for the reference's length bookkeeping.
+        """
+        hop, win = self.spec.hop_size, self.spec.win_size
+        h = self.halo.encoder_halo_frames
+        L = audio.shape[-1]
+        t_frames = L // hop
+        fh, t_pad = plan_time_sharding(t_frames, self.n, h)
+        audio = np.pad(np.asarray(audio, np.float32), (0, t_pad * hop - L))
+        # global reflect pad (mel_spec.py:30-37), then split body + tail
+        left, right = (win - hop) // 2, (win - hop + 1) // 2
+        padded = np.concatenate(
+            [audio[1 : left + 1][::-1], audio, audio[-right - 1 : -1][::-1]]
+        )
+        body = padded[: t_pad * hop].reshape(self.n, fh * hop)
+        tail = padded[t_pad * hop :]  # (win - hop + 1,) replicated
+
+        if self._encode_fn is None or self._encode_fn[0] != (fh,):
+            self._encode_fn = ((fh,), self._build_encode(fh))
+        codes = self._encode_fn[1](
+            jax.device_put(body, NamedSharding(self.mesh, P("time"))),
+            jax.device_put(tail, NamedSharding(self.mesh, P())),
+        )
+        return np.asarray(codes).reshape(t_pad, -1)
+
+    def _build_encode(self, fh: int):
+        hop, win = self.spec.hop_size, self.spec.win_size
+        h = self.halo.encoder_halo_frames
+        n = self.n
+        fe = fh + 2 * h
+        module, variables = self.module, self.variables
+
+        from ..dsp.mel import compress, melscale_fbanks
+        from ..dsp.stft import _dft_basis
+
+        n_fft, n_mels = self.spec.n_fft, self.spec.num_mels
+
+        basis = jnp.asarray(_dft_basis(n_fft, win))
+        fb = jnp.asarray(
+            melscale_fbanks(
+                n_fft // 2 + 1,
+                self.spec.fmin,
+                self.spec.fmax,
+                n_mels,
+                self.spec.sampling_rate,
+            )
+        )
+        n_freqs = n_fft // 2 + 1
+
+        def shard_fn(chunk, tail):
+            chunk = chunk[0]
+            idx = jax.lax.axis_index("time")
+            right_need = 2 * h * hop + (win - hop)
+            left_need = 2 * h * hop
+            send_right = chunk[-left_need:]
+            left_recv = jax.lax.ppermute(
+                send_right, "time", [(i, (i + 1) % n) for i in range(n)]
+            )
+            send_left = chunk[:right_need]
+            right_recv = jax.lax.ppermute(
+                send_left, "time", [(i, (i - 1) % n) for i in range(n)]
+            )
+            tail_ext = jnp.concatenate(
+                [tail[: win - hop], jnp.zeros(right_need - (win - hop))]
+            )
+            right_recv = jnp.where(idx == n - 1, tail_ext, right_recv)
+
+            assembled = jnp.concatenate([left_recv, chunk, right_recv])
+            g0 = idx * fh
+            start = jnp.clip(g0 - h, 0, n * fh - fe)
+            offset = start * hop - g0 * hop + left_need
+            window = jax.lax.dynamic_slice(
+                assembled, (offset,), (fe * hop + (win - hop),)
+            )
+            frames = frame_signal(window, win, hop)  # (fe, win)
+            spec = jnp.einsum(
+                "tw,wf->tf",
+                frames.astype(jnp.float32),
+                basis,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+            re, im = spec[:, :n_freqs], spec[:, n_freqs:]
+            mag = jnp.sqrt(re * re + im * im + 1e-6)
+            mel = compress(
+                jnp.einsum(
+                    "tf,fm->tm", mag, fb, precision=jax.lax.Precision.HIGHEST
+                )
+            )  # (fe, M)
+            codes = module.apply(
+                variables, mel[None], method="_encode_from_mel"
+            )  # (1, G*R, fe)
+            crop = g0 - start
+            codes = jax.lax.dynamic_slice(
+                codes, (0, 0, crop), (codes.shape[0], codes.shape[1], fh)
+            )
+            return codes.astype(jnp.int32)  # (1, G*R, fh)
+
+        fn = jax.jit(
+            jax.shard_map(
+                shard_fn,
+                mesh=self.mesh,
+                in_specs=(P("time"), P()),
+                out_specs=P(None, None, "time"),
+            )
+        )
+        return lambda body, tail: jnp.transpose(
+            fn(body, tail)[0], (1, 0)
+        ).reshape(-1, self.cfg.quantizer.n_groups * self.cfg.quantizer.n_codebooks)
+
+    # ------------------------------------------------------------- decoding
+
+    def decode_codes(self, codes: np.ndarray) -> np.ndarray:
+        """codes (T,) or (T, G*R) -> waveform (T*hop,)."""
+        codes = np.asarray(codes, np.int32)
+        if codes.ndim == 1:
+            codes = codes[:, None]
+        t_frames = codes.shape[0]
+        h = self.halo.decoder_halo_frames
+        fh, t_pad = plan_time_sharding(t_frames, self.n, h)
+        codes = np.pad(codes, ((0, t_pad - t_frames), (0, 0)))
+        if self._decode_fn is None or self._decode_fn[0] != (fh,):
+            self._decode_fn = ((fh,), self._build_decode(fh))
+        wave = self._decode_fn[1](
+            jax.device_put(
+                codes.reshape(self.n, fh, -1),
+                NamedSharding(self.mesh, P("time")),
+            )
+        )
+        return np.asarray(wave).reshape(-1)[: t_frames * self.spec.hop_size]
+
+    def _build_decode(self, fh: int):
+        hop = self.spec.hop_size
+        h = self.halo.decoder_halo_frames
+        n = self.n
+        fe = fh + 2 * h
+        module, variables = self.module, self.variables
+        G = self.cfg.quantizer.n_groups
+        R = self.cfg.quantizer.n_codebooks
+
+        def shard_fn(codes):
+            # codes: (1, fh, G*R) this device's frames
+            codes = codes[0]
+            idx = jax.lax.axis_index("time")
+            left_recv = jax.lax.ppermute(
+                codes[-2 * h :], "time", [(i, (i + 1) % n) for i in range(n)]
+            )
+            right_recv = jax.lax.ppermute(
+                codes[: 2 * h], "time", [(i, (i - 1) % n) for i in range(n)]
+            )
+            assembled = jnp.concatenate([left_recv, codes, right_recv])
+            g0 = idx * fh
+            start = jnp.clip(g0 - h, 0, n * fh - fe)
+            offset = start - g0 + 2 * h
+            window = jax.lax.dynamic_slice(
+                assembled, (offset, 0), (fe, G * R)
+            )
+            # (fe, G*R) -> reference decode layout (G, 1, fe, R)
+            ind = window.reshape(fe, G, R)
+            ind = jnp.transpose(ind, (1, 0, 2))[:, None]  # (G, 1, fe, R)
+            wave = module.apply(variables, ind, method="decode_codes")  # (1, fe*hop)
+            crop = (g0 - start) * hop
+            wave = jax.lax.dynamic_slice(wave, (0, crop), (1, fh * hop))
+            return wave
+
+        fn = jax.jit(
+            jax.shard_map(
+                shard_fn,
+                mesh=self.mesh,
+                in_specs=(P("time"),),
+                out_specs=P(None, "time"),
+            )
+        )
+        return fn
