@@ -22,7 +22,7 @@ import numpy as np
 
 BASELINE_FILE = os.path.join(os.path.dirname(__file__), "bench_baseline.json")
 SECONDS = 10.0
-BATCH = 8
+BATCH = 16
 SR = 24000
 
 
@@ -42,29 +42,34 @@ def bench_ours(iters: int = 10) -> dict:
         rng.standard_normal((BATCH, n_samples + 1)).astype(np.float32) * 0.1
     )
 
+    # bf16 conv stacks + fp32 VQ distance: the production inference mode
+    # (reference demo encodes with enable_bfloat16=True, distil_codec.py:701)
     encode = jax.jit(
-        lambda v, a: codec.module.apply(v, a, method="encode_codes")
+        lambda v, a: codec.module_bf16.apply(v, a, method="encode_codes")
     )
     decode = jax.jit(
-        lambda v, c: codec.module.apply(v, c, method="decode_codes")
+        lambda v, c: codec.module_bf16.apply(v, c, method="decode_codes")
     )
 
     codes_flat = encode(codec.variables, audio)  # (B, G*R, L)
-    jax.block_until_ready(codes_flat)
     g, r = cfg["quantizer"]["n_groups"], cfg["quantizer"]["n_codebooks"]
     L = codes_flat.shape[-1]
     codes = jnp.transpose(
         codes_flat.reshape(BATCH, g, r, L), (1, 0, 3, 2)
     )  # (G, B, L, R)
     wave = decode(codec.variables, codes)
-    jax.block_until_ready(wave)
+    # NOTE: on the tunneled TPU backend block_until_ready does not actually
+    # block; synchronize via a host fetch of a value that data-depends on
+    # every iteration's work.
+    float(jnp.sum(wave)) + int(jnp.sum(codes_flat))
 
-    # timed loop
     t0 = time.perf_counter()
+    acc = jnp.zeros((), jnp.float32)
     for _ in range(iters):
         c = encode(codec.variables, audio)
         w = decode(codec.variables, codes)
-    jax.block_until_ready((c, w))
+        acc = acc + jnp.sum(w) + jnp.sum(c).astype(jnp.float32)
+    float(acc)  # forces the full dependency chain
     dt = time.perf_counter() - t0
 
     audio_seconds = BATCH * SECONDS * iters

@@ -54,17 +54,30 @@ from .utils import audio_io
 
 
 class DistilCodecModule(nn.Module):
-    """Encoder + quantizer + generator composition (jittable core)."""
+    """Encoder + quantizer + generator composition (jittable core).
+
+    ``compute_dtype=jnp.bfloat16`` runs the conv stacks in bf16 with fp32
+    params/accumulation — the TPU analog of the reference's autocast(bf16)
+    on encode/decode (distil_codec.py:550, :590) — while the VQ nearest-
+    neighbor search always stays fp32 (vector_quantize_pytorch.py:462-473).
+    """
 
     cfg: CodecConfig
     only_quantizer: bool = False
+    compute_dtype: jnp.dtype | None = None
 
     def setup(self):
         cfg = self.cfg
         if not self.only_quantizer:
-            self.encoder = ConvNeXtEncoder(cfg.encoder, name="encoder")
-            self.generator = HiFiGANGenerator(cfg.decoder, name="generator")
-        self.quantizer = DownsampleGRVQ(cfg.quantizer, name="quantizer")
+            self.encoder = ConvNeXtEncoder(
+                cfg.encoder, dtype=self.compute_dtype, name="encoder"
+            )
+            self.generator = HiFiGANGenerator(
+                cfg.decoder, dtype=self.compute_dtype, name="generator"
+            )
+        self.quantizer = DownsampleGRVQ(
+            cfg.quantizer, dtype=self.compute_dtype, name="quantizer"
+        )
         self.spec_transform = LogMelSpectrogram(
             sample_rate=cfg.spec.sampling_rate,
             n_fft=cfg.spec.n_fft,
@@ -149,6 +162,9 @@ class DistilCodec:
         self.spec_config = configs.spec
 
         self.module = DistilCodecModule(configs, only_quantizer=only_quantizer)
+        self.module_bf16 = DistilCodecModule(
+            configs, only_quantizer=only_quantizer, compute_dtype=jnp.bfloat16
+        )
         if variables is None:
             # init under jit: one compiled program instead of thousands of
             # eagerly-dispatched init ops (critical on remote-compile TPU)
@@ -168,18 +184,21 @@ class DistilCodec:
                 )
         self.variables = variables
 
-        self._encode_jit = jax.jit(
-            lambda v, a: self.module.apply(v, a, method="encode_result")
-        )
-        self._decode_codes_jit = jax.jit(
-            lambda v, c: self.module.apply(v, c, method="decode_codes")
-        )
-        self._decode_feats_jit = jax.jit(
-            lambda v, f: self.module.apply(v, f, method="decode_features")
-        )
-        self._roundtrip_jit = jax.jit(
-            lambda v, a: self.module.apply(v, a)
-        )
+        def _jits(mod):
+            return {
+                "encode": jax.jit(
+                    lambda v, a: mod.apply(v, a, method="encode_result")
+                ),
+                "decode_codes": jax.jit(
+                    lambda v, c: mod.apply(v, c, method="decode_codes")
+                ),
+                "decode_feats": jax.jit(
+                    lambda v, f: mod.apply(v, f, method="decode_features")
+                ),
+                "roundtrip": jax.jit(lambda v, a: mod.apply(v, a)),
+            }
+
+        self._jit = {False: _jits(self.module), True: _jits(self.module_bf16)}
 
         # token map is built lazily: it materializes the full codebook on host
         # (hundreds of MB over the device tunnel) and is only needed by the
@@ -309,7 +328,9 @@ class DistilCodec:
             audios, gen_lengths, n_hop_lengths = self.preprocess_audio_batch(
                 audio_pathes
             )
-        result: GRVQResult = self._encode_jit(self.variables, jnp.asarray(audios))
+        result: GRVQResult = self._jit[bool(enable_bfloat16)]["encode"](
+            self.variables, jnp.asarray(audios)
+        )
         codes = np.asarray(result.codes)  # (G, B, L, R)
         x_pjt = np.asarray(result.x_pjt_in)  # (B, L, G*Dc)
         fup = np.asarray(result.quantized_fup)
@@ -365,7 +386,9 @@ class DistilCodec:
         if minus_token_offset:
             codes = [c - self.tokens_id_offset for c in codes]
         arr = np.asarray(codes, dtype=np.int32).reshape(1, 1, -1, 1)
-        wave = self._decode_codes_jit(self.variables, jnp.asarray(arr))
+        wave = self._jit[bool(enable_bfloat16)]["decode_codes"](
+            self.variables, jnp.asarray(arr)
+        )
         return np.asarray(wave)[:, None, :]
 
     def decode_from_codes_batch(
@@ -387,7 +410,9 @@ class DistilCodec:
         batch = np.zeros((1, len(codes_list), max_len, 1), dtype=np.int32)
         for i, codes in enumerate(codes_list):
             batch[0, i, : len(codes), 0] = np.asarray(codes, dtype=np.int32)
-        waves = self._decode_codes_jit(self.variables, jnp.asarray(batch))
+        waves = self._jit[bool(enable_bfloat16)]["decode_codes"](
+            self.variables, jnp.asarray(batch)
+        )
         waves = np.asarray(waves)
         return [waves[i : i + 1, None, :] for i in range(len(codes_list))]
 
@@ -398,7 +423,9 @@ class DistilCodec:
         feats = jnp.asarray(quantized_features)
         if feats.shape[-1] != self.codec_config.quantizer.input_dim:
             feats = jnp.swapaxes(feats, -1, -2)
-        wave = self._decode_feats_jit(self.variables, feats)
+        wave = self._jit[bool(enable_bfloat16)]["decode_feats"](
+            self.variables, feats
+        )
         return np.asarray(wave)[:, None, :]
 
     def forward(self, audio_pathes: list):
@@ -406,7 +433,7 @@ class DistilCodec:
         audios, gen_lengths, n_hop_lengths = self.preprocess_audio_batch(
             audio_pathes
         )
-        wave, _ = self._roundtrip_jit(self.variables, jnp.asarray(audios))
+        wave, _ = self._jit[False]["roundtrip"](self.variables, jnp.asarray(audios))
         return np.asarray(wave)[:, None, :], audios, gen_lengths, n_hop_lengths
 
     __call__ = forward

@@ -102,20 +102,50 @@ class Conv1d(nn.Module):
         else:
             kernel = self.param("kernel", self.kernel_init, kshape, jnp.float32)
         dtype = self.dtype or x.dtype
-        y = jax.lax.conv_general_dilated(
-            x.astype(dtype),
-            kernel.astype(dtype),
-            window_strides=(self.stride,),
-            padding=[(self.padding, self.padding)],
-            rhs_dilation=(self.dilation,),
-            dimension_numbers=("NHC", "HIO", "NHC"),
-            feature_group_count=self.groups,
-            preferred_element_type=jnp.float32,
-        )
+        strategy = _conv_lowering()
+        is_depthwise = self.groups == in_ch and self.features == in_ch
+        use_mm = strategy == "mm" or (strategy == "auto" and is_depthwise)
+        if use_mm:
+            from ..ops.conv1d import conv1d_mm
+
+            y = conv1d_mm(
+                x.astype(dtype),
+                kernel.astype(dtype),
+                stride=self.stride,
+                padding=self.padding,
+                dilation=self.dilation,
+                groups=self.groups,
+            )
+        else:
+            y = jax.lax.conv_general_dilated(
+                x.astype(dtype),
+                kernel.astype(dtype),
+                window_strides=(self.stride,),
+                padding=[(self.padding, self.padding)],
+                rhs_dilation=(self.dilation,),
+                dimension_numbers=("NHC", "HIO", "NHC"),
+                feature_group_count=self.groups,
+                preferred_element_type=jnp.float32,
+            )
         if self.use_bias:
             b = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
-            y = y + b
+            y = (y.astype(jnp.float32) + b).astype(dtype)
         return y.astype(dtype)
+
+
+def _conv_lowering() -> str:
+    """Conv lowering strategy, resolved at trace time.
+
+    'auto' (default): shift-FMA lowering for depthwise convs, XLA native conv
+    for dense/grouped ones.  Measured end-to-end on v5e (composed bf16 decode
+    of 80 audio-s): all-lax 200 ms, all-mm 515 ms — the unrolled tap-matmuls
+    re-read large activations per tap while XLA's dense-conv lowering tiles
+    with VMEM reuse; depthwise convs are bandwidth-bound shifts where the FMA
+    form wins.  'lax' / 'mm' force one strategy everywhere.
+    """
+    import os
+
+    return os.environ.get("DISTILCODEC_CONV_LOWERING", "auto")
 
 
 class ConvTranspose1d(nn.Module):
@@ -154,19 +184,29 @@ class ConvTranspose1d(nn.Module):
         else:
             kernel = self.param("kernel", self.kernel_init, kshape, jnp.float32)
         dtype = self.dtype or x.dtype
-        pad = self.kernel_size - 1 - self.padding
-        y = jax.lax.conv_general_dilated(
-            x.astype(dtype),
-            kernel.astype(dtype),
-            window_strides=(1,),
-            padding=[(pad, pad)],
-            lhs_dilation=(self.stride,),
-            dimension_numbers=("NHC", "HIO", "NHC"),
-            preferred_element_type=jnp.float32,
-        )
+        if _conv_lowering() == "mm":
+            from ..ops.conv1d import conv_transpose1d_mm
+
+            y = conv_transpose1d_mm(
+                x.astype(dtype),
+                kernel.astype(dtype),
+                stride=self.stride,
+                padding=self.padding,
+            )
+        else:
+            pad = self.kernel_size - 1 - self.padding
+            y = jax.lax.conv_general_dilated(
+                x.astype(dtype),
+                kernel.astype(dtype),
+                window_strides=(1,),
+                padding=[(pad, pad)],
+                lhs_dilation=(self.stride,),
+                dimension_numbers=("NHC", "HIO", "NHC"),
+                preferred_element_type=jnp.float32,
+            )
         if self.use_bias:
             b = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
-            y = y + b
+            y = (y.astype(jnp.float32) + b).astype(dtype)
         return y.astype(dtype)
 
 
@@ -183,11 +223,14 @@ class ConvNeXtBlock(nn.Module):
     mlp_ratio: float = 4.0
     kernel_size: int = 7
     dilation: int = 1
+    dtype: jnp.dtype | None = None
 
     @nn.compact
     def __call__(
         self, x: jnp.ndarray, *, training: bool = False, apply_residual: bool = True
     ) -> jnp.ndarray:
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
         inputs = x
         x = Conv1d(
             self.dim,
@@ -195,14 +238,20 @@ class ConvNeXtBlock(nn.Module):
             padding=int(self.dilation * (self.kernel_size - 1) / 2),
             dilation=self.dilation,
             groups=self.dim,
+            dtype=self.dtype,
             name="dwconv",
         )(x)
         x = LayerNorm(name="norm")(x)
         x = nn.Dense(
-            int(self.mlp_ratio * self.dim), kernel_init=_trunc02, name="pwconv1"
+            int(self.mlp_ratio * self.dim),
+            kernel_init=_trunc02,
+            dtype=self.dtype,
+            name="pwconv1",
         )(x)
         x = nn.gelu(x, approximate=False)
-        x = nn.Dense(self.dim, kernel_init=_trunc02, name="pwconv2")(x)
+        x = nn.Dense(
+            self.dim, kernel_init=_trunc02, dtype=self.dtype, name="pwconv2"
+        )(x)
         if self.layer_scale_init_value > 0:
             gamma = self.param(
                 "gamma",
@@ -210,7 +259,7 @@ class ConvNeXtBlock(nn.Module):
                 (self.dim,),
                 jnp.float32,
             )
-            x = gamma * x
+            x = gamma.astype(x.dtype) * x
         if training and self.drop_path_rate > 0.0:
             x = drop_path(x, self.drop_path_rate, self.make_rng("droppath"))
         if apply_residual:
@@ -224,6 +273,7 @@ class ResBlock1(nn.Module):
     channels: int
     kernel_size: int = 3
     dilation: Sequence[int] = (1, 3, 5)
+    dtype: jnp.dtype | None = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -236,6 +286,7 @@ class ResBlock1(nn.Module):
                 dilation=d,
                 use_weight_norm=True,
                 kernel_init=_normal001,
+                dtype=self.dtype,
                 name=f"convs1_{i}",
             )(xt)
             xt = nn.silu(xt)
@@ -245,6 +296,7 @@ class ResBlock1(nn.Module):
                 padding=get_padding(self.kernel_size, 1),
                 use_weight_norm=True,
                 kernel_init=_normal001,
+                dtype=self.dtype,
                 name=f"convs2_{i}",
             )(xt)
             x = xt + x
@@ -257,12 +309,15 @@ class ParallelBlock(nn.Module):
     channels: int
     kernel_sizes: Sequence[int] = (3, 7, 11)
     dilation_sizes: Sequence[Sequence[int]] = ((1, 3, 5), (1, 3, 5), (1, 3, 5))
+    dtype: jnp.dtype | None = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         outs = []
         for i, (k, d) in enumerate(zip(self.kernel_sizes, self.dilation_sizes)):
             outs.append(
-                ResBlock1(self.channels, k, tuple(d), name=f"blocks_{i}")(x)
+                ResBlock1(
+                    self.channels, k, tuple(d), dtype=self.dtype, name=f"blocks_{i}"
+                )(x)
             )
         return sum(outs) / len(outs)

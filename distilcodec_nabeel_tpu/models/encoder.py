@@ -22,6 +22,7 @@ from .blocks import Conv1d, ConvNeXtBlock, LayerNorm
 
 class ConvNeXtEncoder(nn.Module):
     cfg: EncoderConfig
+    dtype: jnp.dtype | None = None  # bf16 compute mode (params stay fp32)
 
     @nn.compact
     def __call__(self, mel: jnp.ndarray, *, training: bool = False) -> jnp.ndarray:
@@ -32,7 +33,7 @@ class ConvNeXtEncoder(nn.Module):
         # same schedule as torch.linspace over total depth (encoders.py:42)
         dp_rates = np.linspace(0.0, cfg.drop_path_rate, sum(depths))
 
-        x = mel
+        x = mel if self.dtype is None else mel.astype(self.dtype)
         cur = 0
         for i in range(len(depths)):
             if i == 0:
@@ -40,18 +41,20 @@ class ConvNeXtEncoder(nn.Module):
                     dims[0],
                     cfg.kernel_size,
                     padding=cfg.kernel_size // 2,
+                    dtype=self.dtype,
                     name="stem_conv",
                 )(x)
                 x = LayerNorm(name="stem_norm")(x)
             else:
                 x = LayerNorm(name=f"expand_norm_{i}")(x)
-                x = Conv1d(dims[i], 1, name=f"expand_conv_{i}")(x)
+                x = Conv1d(dims[i], 1, dtype=self.dtype, name=f"expand_conv_{i}")(x)
             for j in range(depths[i]):
                 x = ConvNeXtBlock(
                     dim=dims[i],
                     drop_path_rate=float(dp_rates[cur + j]),
                     layer_scale_init_value=cfg.layer_scale_init_value,
                     kernel_size=cfg.kernel_size,
+                    dtype=self.dtype,
                     name=f"stage_{i}_block_{j}",
                 )(x, training=training)
             cur += depths[i]

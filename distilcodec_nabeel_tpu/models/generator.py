@@ -24,6 +24,7 @@ from .blocks import Conv1d, ConvTranspose1d, ParallelBlock, get_padding
 
 class HiFiGANGenerator(nn.Module):
     cfg: DecoderConfig
+    dtype: jnp.dtype | None = None  # bf16 compute mode (params stay fp32)
 
     @nn.compact
     def __call__(
@@ -35,6 +36,8 @@ class HiFiGANGenerator(nn.Module):
     ) -> jnp.ndarray:
         """x: (B, T, num_mels) -> waveform (B, hop_length*T)."""
         cfg = self.cfg
+        if self.dtype is not None:
+            x = x.astype(self.dtype)
         rates = cfg.upsample_rates
         kernels = cfg.upsample_kernel_sizes
         init_ch = cfg.upsample_initial_channel
@@ -45,6 +48,7 @@ class HiFiGANGenerator(nn.Module):
             cfg.pre_conv_kernel_size,
             padding=get_padding(cfg.pre_conv_kernel_size),
             use_weight_norm=True,
+            dtype=self.dtype,
             name="conv_pre",
         )(x)
 
@@ -57,6 +61,7 @@ class HiFiGANGenerator(nn.Module):
                 stride=u,
                 padding=(k - u) // 2,
                 use_weight_norm=True,
+                dtype=self.dtype,
                 name=f"ups_{i}",
             )(x)
             if cfg.use_template and template is not None:
@@ -76,6 +81,7 @@ class HiFiGANGenerator(nn.Module):
                 ch,
                 cfg.resblock_kernel_sizes,
                 cfg.resblock_dilation_sizes,
+                dtype=self.dtype,
                 name=f"resblocks_{i}",
             )
             if training:
@@ -89,9 +95,11 @@ class HiFiGANGenerator(nn.Module):
             cfg.post_conv_kernel_size,
             padding=get_padding(cfg.post_conv_kernel_size),
             use_weight_norm=True,
+            dtype=self.dtype,
             name="conv_post",
         )(x)
-        return jnp.tanh(x)[..., 0]
+        # waveform always returned fp32 (bf16 mantissa is audible)
+        return jnp.tanh(x.astype(jnp.float32))[..., 0]
 
 
 def _prod(xs) -> int:

@@ -1,0 +1,120 @@
+"""MXU-mapped 1-D convolution lowerings.
+
+XLA's native 1-D `conv_general_dilated` lowering on TPU v5e is catastrophically
+slow for this model's shapes — measured 172 ms for the decoder's k=13
+1024->1024 conv on an (8, 937, 1024) input vs ~9 ms for the same math written
+as shifted matmuls (19x).  Every conv in the codec therefore lowers through
+this module:
+
+* dense / grouped convs -> sum over taps of (strided-slice @ weight-tap)
+  matmuls — K matmuls of (B*T, Cin) x (Cin, Cout), pure MXU work;
+* depthwise convs -> K shifted vector FMAs on the VPU;
+* transposed convs -> polyphase decomposition: one dense tap-matmul conv per
+  output phase, interleaved by reshape — no input dilation, no zero-stuffing,
+  1/stride of the naive FLOPs.
+
+All lowerings are numerically identical to the lax reference (unit-tested) and
+accumulate in fp32 via ``preferred_element_type`` regardless of compute dtype.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def conv1d_mm(
+    x: jnp.ndarray,
+    w: jnp.ndarray,
+    *,
+    stride: int = 1,
+    padding: int = 0,
+    dilation: int = 1,
+    groups: int = 1,
+) -> jnp.ndarray:
+    """Conv over (B, T, Cin) with weight (K, Cin//groups, Cout), torch
+    symmetric-padding semantics.  Returns (B, T_out, Cout) in x.dtype."""
+    B, T, Cin = x.shape
+    K, _, Cout = w.shape
+    t_out = (T + 2 * padding - dilation * (K - 1) - 1) // stride + 1
+    xp = jnp.pad(x, ((0, 0), (padding, padding), (0, 0)))
+
+    if groups == Cin and Cout == Cin:
+        # depthwise: K shifted FMAs (VPU)
+        out = jnp.zeros((B, t_out, Cout), jnp.float32)
+        for k in range(K):
+            start = k * dilation
+            sl = jax.lax.slice_in_dim(xp, start, start + (t_out - 1) * stride + 1, stride, axis=1)
+            out = out + sl.astype(jnp.float32) * w[k, 0].astype(jnp.float32)
+        return out.astype(x.dtype)
+
+    if groups == 1:
+        out = jnp.zeros((B, t_out, Cout), jnp.float32)
+        for k in range(K):
+            start = k * dilation
+            sl = jax.lax.slice_in_dim(xp, start, start + (t_out - 1) * stride + 1, stride, axis=1)
+            out = out + jnp.matmul(sl, w[k], preferred_element_type=jnp.float32)
+        return out.astype(x.dtype)
+
+    # grouped: block-diagonal einsum per tap
+    cg_in = Cin // groups
+    cg_out = Cout // groups
+    wg = w.reshape(K, cg_in, groups, cg_out)  # split Cout over groups
+    out = jnp.zeros((B, t_out, groups, cg_out), jnp.float32)
+    for k in range(K):
+        start = k * dilation
+        sl = jax.lax.slice_in_dim(xp, start, start + (t_out - 1) * stride + 1, stride, axis=1)
+        sl = sl.reshape(B, t_out, groups, cg_in)
+        out = out + jnp.einsum(
+            "btgi,kigo->btgo",
+            sl,
+            wg[k : k + 1],
+            preferred_element_type=jnp.float32,
+        )
+    return out.reshape(B, t_out, Cout).astype(x.dtype)
+
+
+def conv_transpose1d_mm(
+    x: jnp.ndarray,
+    w: jnp.ndarray,
+    *,
+    stride: int,
+    padding: int = 0,
+) -> jnp.ndarray:
+    """Transposed conv over (B, T, Cin), weight in *pre-flipped conv layout*
+    (K, Cin, Cout) — the same layout blocks.ConvTranspose1d stores — with
+    torch semantics: T_out = (T-1)*stride - 2*padding + K.
+
+    Polyphase: the input-dilated conv's output position t only multiplies
+    kernel taps congruent to t modulo stride, so each output phase is its own
+    small dense conv; phases are computed as tap-matmul convs and interleaved.
+    """
+    B, T, Cin = x.shape
+    K, _, Cout = w.shape
+    u = stride
+    t_out = (T - 1) * u - 2 * padding + K
+    pad_total = K - 1 - padding  # conv padding of the dilated formulation
+
+    # output position t reads dilated-input positions t+j (j in [0,K)) where
+    # (t + j - pad_total) % u == 0 -> real input index (t + j - pad_total)//u.
+    # Group t by phase p = t % u.
+    n_t = -(-t_out // u)  # ceil: phase-major frame count
+    # pad x generously so every phase's gather window is in range
+    lead = -(-pad_total // u) + 1
+    xp = jnp.pad(x, ((0, 0), (lead, K // u + 2), (0, 0)))
+    out_phases = []
+    for p in range(u):
+        acc = jnp.zeros((B, n_t, Cout), jnp.float32)
+        for j in range(K):
+            off = p + j - pad_total
+            if off % u != 0:
+                continue
+            q = off // u  # input offset for output frame index m: i = m + q
+            # slice xp so that element m corresponds to x[m + q]
+            start = lead + q
+            sl = jax.lax.slice_in_dim(xp, start, start + n_t, 1, axis=1)
+            acc = acc + jnp.matmul(sl, w[j], preferred_element_type=jnp.float32)
+        out_phases.append(acc)
+    # interleave phases: (B, n_t, u, Cout) -> (B, n_t*u, Cout)
+    out = jnp.stack(out_phases, axis=2).reshape(B, n_t * u, Cout)
+    return out[:, :t_out].astype(x.dtype)

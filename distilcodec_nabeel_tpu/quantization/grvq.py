@@ -36,6 +36,7 @@ class GRVQResult:
 
 class DownsampleGRVQ(nn.Module):
     cfg: QuantizerConfig
+    dtype: jnp.dtype | None = None  # bf16 compute mode (VQ core stays fp32)
 
     def setup(self):
         cfg = self.cfg
@@ -52,9 +53,14 @@ class DownsampleGRVQ(nn.Module):
                     all_dims[i + 1],
                     kernel_size=f,
                     stride=f,
+                    dtype=self.dtype,
                     name=f"downsample_{i}_conv",
                 ),
-                ConvNeXtBlock(dim=all_dims[i + 1], name=f"downsample_{i}_block"),
+                ConvNeXtBlock(
+                    dim=all_dims[i + 1],
+                    dtype=self.dtype,
+                    name=f"downsample_{i}_block",
+                ),
             )
             for i, f in enumerate(factors)
         ]
@@ -65,9 +71,12 @@ class DownsampleGRVQ(nn.Module):
                     all_dims[i],
                     kernel_size=f,
                     stride=f,
+                    dtype=self.dtype,
                     name=f"upsample_{i}_conv",
                 ),
-                ConvNeXtBlock(dim=all_dims[i], name=f"upsample_{i}_block"),
+                ConvNeXtBlock(
+                    dim=all_dims[i], dtype=self.dtype, name=f"upsample_{i}_block"
+                ),
             )
             for i, f in rev
         ]
@@ -83,6 +92,7 @@ class DownsampleGRVQ(nn.Module):
             codebook_diversity_loss_weight=cfg.codebook_diversity_loss_weight,
             codebook_diversity_temperature=cfg.codebook_diversity_temperature,
             threshold_ema_dead_code=cfg.threshold_ema_dead_code,
+            dtype=self.dtype,
             name="grvq",
         )
 

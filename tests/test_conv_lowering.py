@@ -1,0 +1,83 @@
+"""conv1d matmul lowerings vs the lax reference — exact semantics across
+stride/dilation/groups/transpose configurations used anywhere in the codec."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from distilcodec_nabeel_tpu.ops.conv1d import conv1d_mm, conv_transpose1d_mm
+
+
+def lax_conv(x, w, stride, padding, dilation, groups):
+    return jax.lax.conv_general_dilated(
+        x,
+        w,
+        window_strides=(stride,),
+        padding=[(padding, padding)],
+        rhs_dilation=(dilation,),
+        dimension_numbers=("NHC", "HIO", "NHC"),
+        feature_group_count=groups,
+        preferred_element_type=jnp.float32,
+    )
+
+
+def lax_convtr(x, w, stride, padding):
+    k = w.shape[0]
+    pad = k - 1 - padding
+    return jax.lax.conv_general_dilated(
+        x,
+        w,
+        window_strides=(1,),
+        padding=[(pad, pad)],
+        lhs_dilation=(stride,),
+        dimension_numbers=("NHC", "HIO", "NHC"),
+        preferred_element_type=jnp.float32,
+    )
+
+
+@pytest.mark.parametrize(
+    "cin,cout,k,stride,padding,dilation,groups",
+    [
+        (16, 24, 13, 1, 6, 1, 1),  # conv_pre-like
+        (16, 24, 7, 1, 3, 1, 1),  # stem-like
+        (16, 16, 7, 1, 3, 1, 16),  # depthwise ConvNeXt
+        (16, 16, 11, 1, 25, 5, 1),  # dilated resblock conv
+        (8, 24, 41, 2, 20, 1, 4),  # MSD grouped strided
+        (16, 24, 41, 4, 20, 1, 8),  # MSD grouped stride 4
+        (16, 24, 1, 1, 0, 1, 1),  # 1x1 expander
+        (16, 24, 2, 2, 0, 1, 1),  # teacher downsample factor 2
+    ],
+)
+def test_conv_mm_matches_lax(rng, cin, cout, k, stride, padding, dilation, groups):
+    x = jnp.asarray(rng.standard_normal((2, 50, cin)).astype(np.float32))
+    w = jnp.asarray(
+        rng.standard_normal((k, cin // groups, cout)).astype(np.float32)
+    )
+    ref = lax_conv(x, w, stride, padding, dilation, groups)
+    got = conv1d_mm(
+        x, w, stride=stride, padding=padding, dilation=dilation, groups=groups
+    )
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize(
+    "cin,cout,k,stride,padding",
+    [
+        (16, 8, 16, 8, 4),  # HiFiGAN up stage (k=16, u=8)
+        (16, 8, 12, 4, 4),  # (k=12, u=4)
+        (16, 8, 4, 2, 1),  # (k=4, u=2)
+        (16, 8, 2, 2, 0),  # teacher quantizer upsample
+        (16, 8, 1, 1, 0),  # student quantizer upsample (k=1)
+        (16, 8, 5, 3, 1),  # k not multiple of u
+    ],
+)
+def test_convtr_mm_matches_lax(rng, cin, cout, k, stride, padding):
+    x = jnp.asarray(rng.standard_normal((2, 30, cin)).astype(np.float32))
+    w = jnp.asarray(rng.standard_normal((k, cin, cout)).astype(np.float32))
+    ref = lax_convtr(x, w, stride, padding)
+    got = conv_transpose1d_mm(x, w, stride=stride, padding=padding)
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-5)
