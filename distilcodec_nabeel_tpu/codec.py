@@ -75,9 +75,19 @@ class DistilCodecModule(nn.Module):
             self.generator = HiFiGANGenerator(
                 cfg.decoder, dtype=self.compute_dtype, name="generator"
             )
-        self.quantizer = DownsampleGRVQ(
-            cfg.quantizer, dtype=self.compute_dtype, name="quantizer"
-        )
+        # quantizer_type selects GRVQ (default) or the FSQ variant.  NOTE the
+        # reference pops the key and unconditionally builds GRVQ
+        # (distil_codec.py:49-53); we honor an explicit 'grfsq'.
+        if cfg.quantizer.quantizer_type == "grfsq":
+            from .quantization.fsq import DownsampleGRFSQ
+
+            self.quantizer = DownsampleGRFSQ(
+                cfg.quantizer, dtype=self.compute_dtype, name="quantizer"
+            )
+        else:
+            self.quantizer = DownsampleGRVQ(
+                cfg.quantizer, dtype=self.compute_dtype, name="quantizer"
+            )
         self.spec_transform = LogMelSpectrogram(
             sample_rate=cfg.spec.sampling_rate,
             n_fft=cfg.spec.n_fft,
@@ -119,6 +129,9 @@ class DistilCodecModule(nn.Module):
 
     def decode_codes(self, codes: jnp.ndarray) -> jnp.ndarray:
         """codes (G, B, L, R) -> waveform (B, hop*T)."""
+        if self.cfg.quantizer.quantizer_type == "grfsq":
+            g, b, l, r = codes.shape
+            codes = jnp.transpose(codes, (1, 0, 3, 2)).reshape(b, g * r, l)
         feats = self.quantizer.decode(codes)
         return self.generator(feats)
 
