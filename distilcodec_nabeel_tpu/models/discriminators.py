@@ -89,15 +89,27 @@ class SNConv1d(nn.Module):
         u_var = self.variable(
             "spectral",
             "u",
-            lambda: jax.random.normal(self.make_rng("params"), (self.features,))
-            / jnp.sqrt(float(self.features)),
+            lambda: _l2norm(
+                jax.random.normal(self.make_rng("params"), (self.features,))
+            ),
         )
-        u = jax.lax.stop_gradient(u_var.value)
-        v = _l2norm(jnp.matmul(u, w2d))
-        u_new = _l2norm(jnp.matmul(w2d, v))
+        v_var = self.variable(
+            "spectral",
+            "v",
+            lambda: _l2norm(
+                jnp.matmul(jax.lax.stop_gradient(u_var.value), w2d)
+            ),
+        )
         if update_stats and not self.is_initializing():
-            u_var.value = jax.lax.stop_gradient(u_new)
-        sigma = jnp.dot(jax.lax.stop_gradient(u_new), jnp.matmul(w2d, jax.lax.stop_gradient(v)))
+            # one torch-style power iteration (training forward)
+            u = jax.lax.stop_gradient(u_var.value)
+            v = _l2norm(jnp.matmul(u, w2d))
+            u = _l2norm(jnp.matmul(w2d, v))
+            u_var.value = jax.lax.stop_gradient(u)
+            v_var.value = jax.lax.stop_gradient(v)
+        u = jax.lax.stop_gradient(u_var.value)
+        v = jax.lax.stop_gradient(v_var.value)
+        sigma = jnp.dot(u, jnp.matmul(w2d, v))
         kernel = w / sigma
         b = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
         y = jax.lax.conv_general_dilated(

@@ -75,6 +75,12 @@ def nearest_code_xla(x: jnp.ndarray, embed: jnp.ndarray) -> jnp.ndarray:
     return jnp.argmin(e2[None, :] - 2.0 * xy, axis=-1).astype(jnp.int32)
 
 
+def _l2norm(t: jnp.ndarray, eps: float = 1e-12) -> jnp.ndarray:
+    return t / jnp.sqrt(
+        jnp.sum(jnp.square(t), axis=-1, keepdims=True) + eps
+    )
+
+
 def nearest_code(x: jnp.ndarray, embed: jnp.ndarray) -> jnp.ndarray:
     """Dispatch: fused Pallas distance+argmin on TPU (no materialized (N, K)
     score matrix), plain XLA elsewhere.  Same argmin semantics either way."""
@@ -111,6 +117,9 @@ class VectorQuantize(nn.Module):
     codebook_diversity_temperature: float = 100.0
     threshold_ema_dead_code: float = 0.0
     kmeans_init: bool = False
+    use_cosine_sim: bool = False
+    stochastic_sample_codes: bool = False
+    sample_codebook_temp: float = 1.0
 
     def setup(self):
         init_fn = (
@@ -149,13 +158,44 @@ class VectorQuantize(nn.Module):
         flat = x32.reshape(-1, D)
         embed = self.embed.value
 
+        if self.use_cosine_sim:
+            # CosineSimCodebook semantics (vector_quantize_pytorch.py:540-712):
+            # inputs and codebook live on the unit sphere; "distance" is
+            # cosine similarity and selection is argmax.
+            flat = _l2norm(flat)
+            embed = _l2norm(embed)
+
         if training:
-            # full distance matrix needed for the diversity loss gradient
-            dist = pairwise_distance(flat, jax.lax.stop_gradient(embed))
-            ind = jnp.argmin(dist, axis=-1).astype(jnp.int32)
+            if self.use_cosine_sim:
+                sim = jnp.matmul(
+                    flat,
+                    jax.lax.stop_gradient(embed).T,
+                    precision=jax.lax.Precision.HIGH,
+                )
+                dist = -sim  # keep "smaller is nearer" convention below
+            else:
+                # full distance matrix needed for the diversity loss gradient
+                dist = pairwise_distance(flat, jax.lax.stop_gradient(embed))
+            if self.stochastic_sample_codes and self.sample_codebook_temp > 0:
+                # gumbel sampling over -dist logits
+                # (vector_quantize_pytorch.py:80-117)
+                g = jax.random.gumbel(
+                    self.make_rng("gumbel"), dist.shape, jnp.float32
+                )
+                ind = jnp.argmax(
+                    -dist / self.sample_codebook_temp + g, axis=-1
+                ).astype(jnp.int32)
+            else:
+                ind = jnp.argmin(dist, axis=-1).astype(jnp.int32)
         else:
             dist = None
-            ind = nearest_code(flat, embed)
+            if self.use_cosine_sim:
+                sim = jnp.matmul(
+                    flat, embed.T, precision=jax.lax.Precision.HIGH
+                )
+                ind = jnp.argmax(sim, axis=-1).astype(jnp.int32)
+            else:
+                ind = nearest_code(flat, embed)
 
         quantize = jnp.take(embed, ind, axis=0)  # (N, D)
 
@@ -219,6 +259,8 @@ class VectorQuantize(nn.Module):
         total = jnp.sum(new_cluster)
         smoothed = (new_cluster + self.eps) / (total + K * self.eps) * total
         new_embed = new_avg / smoothed[:, None]
+        if self.use_cosine_sim:
+            new_embed = _l2norm(new_embed)
 
         if self.threshold_ema_dead_code > 0:
             # dead-code expiry (vector_quantize_pytorch.py:441-460): replace
@@ -391,6 +433,8 @@ class GroupedResidualVQ(nn.Module):
     codebook_diversity_loss_weight: float = 0.0
     codebook_diversity_temperature: float = 100.0
     threshold_ema_dead_code: float = 0.0
+    quantize_dropout: bool = False
+    quantize_dropout_cutoff_index: int = 0
     dtype: jnp.dtype | None = None
 
     def setup(self):
@@ -421,12 +465,27 @@ class GroupedResidualVQ(nn.Module):
         freeze_codebook: bool = False,
     ) -> GroupedResidualVQOut:
         chunks = jnp.split(x, self.groups, axis=-1)
+        # synchronized quantize-dropout: ONE draw shared by every group, the
+        # reference's shared-seed mechanism (residual_vq.py:329, :176-191)
+        dropout_index = None
+        if (
+            training
+            and self.quantize_dropout
+            and self.num_quantizers > 1
+        ):
+            dropout_index = jax.random.randint(
+                self.make_rng("quantize_dropout"),
+                (),
+                self.quantize_dropout_cutoff_index,
+                self.num_quantizers,
+            )
         outs = [
             rvq(
                 c,
                 training=training,
                 update_ema=update_ema,
                 freeze_codebook=freeze_codebook,
+                dropout_index=dropout_index,
             )
             for rvq, c in zip(self.rvqs, chunks)
         ]

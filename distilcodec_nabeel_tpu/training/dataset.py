@@ -185,6 +185,9 @@ class AudioCropDataset:
         shuffle: bool = True,
         n_cache_reuse: int = 1,
         seed: int = 1234,
+        fine_tuning: bool = False,
+        base_mels_path: str | None = None,
+        hop_size: int = 256,
     ):
         self.audio_files = list(training_files)
         self._rng = random.Random(seed)
@@ -196,12 +199,14 @@ class AudioCropDataset:
         self.n_cache_reuse = n_cache_reuse
         self._cached_wav = None
         self._cache_ref_count = 0
+        self.fine_tuning = fine_tuning
+        self.base_mels_path = base_mels_path
+        self.hop_size = hop_size
 
     def __len__(self):
         return len(self.audio_files)
 
-    def __getitem__(self, index: int) -> np.ndarray:
-        filename = self.audio_files[index]
+    def _load(self, filename: str) -> np.ndarray:
         if self._cache_ref_count == 0:
             try:
                 audio, sr = load_wav(filename, sr=self.sampling_rate)
@@ -217,18 +222,53 @@ class AudioCropDataset:
         else:
             audio = self._cached_wav
             self._cache_ref_count -= 1
+        return audio
 
+    def __getitem__(self, index: int):
+        filename = self.audio_files[index]
+        audio = self._load(filename)
+
+        if not self.fine_tuning:
+            if self.split:
+                if audio.shape[-1] >= self.segment_size:
+                    start = self._rng.randint(
+                        0, audio.shape[-1] - self.segment_size
+                    )
+                    audio = audio[start : start + self.segment_size]
+                else:
+                    audio = np.pad(
+                        audio, (0, self.segment_size - audio.shape[-1])
+                    )
+            return audio.astype(np.float32)
+
+        # fine-tuning path: precomputed .npy mels aligned with the audio
+        # (meldataset.py:271-294)
+        import math
+
+        mel = np.load(
+            os.path.join(
+                self.base_mels_path,
+                os.path.splitext(os.path.split(filename)[-1])[0] + ".npy",
+            )
+        )
+        if mel.ndim == 3:
+            mel = mel[0]
         if self.split:
+            frames_per_seg = math.ceil(self.segment_size / self.hop_size)
             if audio.shape[-1] >= self.segment_size:
-                start = self._rng.randint(
-                    0, audio.shape[-1] - self.segment_size
+                mel_start = self._rng.randint(
+                    0, max(mel.shape[-1] - frames_per_seg - 1, 0)
                 )
-                audio = audio[start : start + self.segment_size]
+                mel = mel[:, mel_start : mel_start + frames_per_seg]
+                audio = audio[
+                    mel_start
+                    * self.hop_size : (mel_start + frames_per_seg)
+                    * self.hop_size
+                ]
             else:
-                audio = np.pad(
-                    audio, (0, self.segment_size - audio.shape[-1])
-                )
-        return audio.astype(np.float32)
+                mel = np.pad(mel, ((0, 0), (0, frames_per_seg - mel.shape[-1])))
+                audio = np.pad(audio, (0, self.segment_size - audio.shape[-1]))
+        return audio.astype(np.float32), mel.astype(np.float32)
 
 
 class PrefetchLoader:
@@ -280,4 +320,11 @@ class PrefetchLoader:
                     futures.append(submit(batches[idx]))
                     idx += 1
                 batch_futs = futures.pop(0)
-                yield np.stack([f.result() for f in batch_futs])
+                items = [f.result() for f in batch_futs]
+                if isinstance(items[0], tuple):  # fine-tuning (audio, mel)
+                    yield tuple(
+                        np.stack([it[j] for it in items])
+                        for j in range(len(items[0]))
+                    )
+                else:
+                    yield np.stack(items)

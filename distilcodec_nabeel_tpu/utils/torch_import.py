@@ -208,6 +208,91 @@ def convert_codec_checkpoint(ckpt: dict, cfg: CodecConfig) -> dict:
     return variables
 
 
+def _conv2d_w(w: Array) -> Array:
+    # torch (out, in, kh, kw) -> flax (kh, kw, in, out)
+    return np.transpose(w, (2, 3, 1, 0)).copy()
+
+
+def _wn_conv2d(sd: StateDict, prefix: str) -> dict:
+    g, v = _wn_pair(sd, prefix)
+    out = {"g": np.reshape(g, (-1,)).copy(), "v": _conv2d_w(v)}
+    if f"{prefix}.bias" in sd:
+        out["bias"] = np.asarray(sd[f"{prefix}.bias"]).copy()
+    return out
+
+
+def _plain_conv2d_as_wn(sd: StateDict, prefix: str) -> dict:
+    """Unnormalized Conv2d mapped onto a WNConv2d(use_weight_norm=False)."""
+    out = {"v": _conv2d_w(sd[f"{prefix}.weight"])}
+    if f"{prefix}.bias" in sd:
+        out["bias"] = np.asarray(sd[f"{prefix}.bias"]).copy()
+    return out
+
+
+def convert_mpd(sd: StateDict, n_periods: int) -> dict:
+    """Reference MultiPeriodDiscriminator (descriminators.py:128-217)."""
+    params: dict = {}
+    for i in range(n_periods):
+        dp: dict = {}
+        for j in range(5):
+            dp[f"convs_{j}"] = _wn_conv2d(sd, f"discriminators.{i}.convs.{j}")
+        dp["conv_post"] = _wn_conv2d(sd, f"discriminators.{i}.conv_post")
+        params[f"discriminators_{i}"] = dp
+    return params
+
+
+def _sn_conv1d(sd: StateDict, prefix: str) -> tuple[dict, dict]:
+    """torch old-style spectral_norm keys: weight_orig / weight_u / weight_v."""
+    params = {"kernel": _conv_w(sd[f"{prefix}.weight_orig"])}
+    if f"{prefix}.bias" in sd:
+        params["bias"] = np.asarray(sd[f"{prefix}.bias"]).copy()
+    spectral = {
+        "u": np.asarray(sd[f"{prefix}.weight_u"]).copy(),
+        "v": np.asarray(sd[f"{prefix}.weight_v"]).copy(),
+    }
+    return params, spectral
+
+
+def convert_msd(sd: StateDict) -> tuple[dict, dict]:
+    """Reference MultiScaleDiscriminator (descriminators.py:220-321):
+    discriminator 0 spectral-normed, 1-2 weight-normed.  Returns
+    (params, spectral-state)."""
+    params: dict = {}
+    spectral: dict = {}
+    for i in range(3):
+        dp: dict = {}
+        ds: dict = {}
+        for j in range(7):
+            prefix = f"discriminators.{i}.convs.{j}"
+            if i == 0:
+                dp[f"convs_{j}"], ds[f"convs_{j}"] = _sn_conv1d(sd, prefix)
+            else:
+                dp[f"convs_{j}"] = _wn_conv(sd, prefix)
+        prefix = f"discriminators.{i}.conv_post"
+        if i == 0:
+            dp["conv_post"], ds["conv_post"] = _sn_conv1d(sd, prefix)
+            spectral[f"discriminators_{i}"] = ds
+        else:
+            dp["conv_post"] = _wn_conv(sd, prefix)
+        params[f"discriminators_{i}"] = dp
+    return params, spectral
+
+
+def convert_msstft(sd: StateDict, n_scales: int = 5, n_dilations: int = 3) -> dict:
+    """Reference MultiScaleSTFTDiscriminator (msstftd.py:107-269).  The first
+    conv of each sub-discriminator is unnormalized (msstftd.py:163-169)."""
+    params: dict = {}
+    for i in range(n_scales):
+        dp: dict = {}
+        base = f"discriminators.{i}"
+        dp["convs_0"] = _plain_conv2d_as_wn(sd, f"{base}.convs.0.conv")
+        for j in range(1, n_dilations + 2):
+            dp[f"convs_{j}"] = _wn_conv2d(sd, f"{base}.convs.{j}.conv")
+        dp["conv_post"] = _wn_conv2d(sd, f"{base}.conv_post.conv")
+        params[f"discriminators_{i}"] = dp
+    return params
+
+
 def _resblock1(sd: StateDict, prefix: str, n: int = 3) -> dict:
     out = {}
     for j in range(n):

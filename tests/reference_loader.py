@@ -94,10 +94,14 @@ def _install_stubs():
                     win_length=self.win_length,
                     window=self.window,
                     center=False,
-                    normalized=self.normalized,
+                    normalized=False,
                     onesided=True,
                     return_complex=True,
                 )
+                if self.normalized:
+                    # torchaudio 'window' normalization (it does NOT use
+                    # torch.stft's 1/sqrt(n_fft) flag)
+                    spec = spec / self.window.pow(2.0).sum().sqrt()
                 return spec.reshape(shape[:-1] + spec.shape[-2:])
 
         transforms.MelScale = MelScale
