@@ -1,0 +1,95 @@
+"""Teacher-codec GRFVQ mode: the paper's 8-residual x 4-group x 1024-code x
+512-dim configuration (BASELINE config 4; reference README.md:56-59 — note the
+in-repo teacher_quantizer config differs, SURVEY §5.6; our GRFVQ is fully
+general in (G, R, K, D) so both are just configs)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from distilcodec_nabeel_tpu.config import QuantizerConfig
+from distilcodec_nabeel_tpu.quantization.grvq import DownsampleGRVQ
+from distilcodec_nabeel_tpu.utils.torch_import import convert_quantizer
+
+torch = pytest.importorskip("torch")
+
+from reference_loader import load_reference  # noqa: E402
+
+
+PAPER_TEACHER = QuantizerConfig(
+    input_dim=1024,
+    n_groups=4,
+    n_codebooks=8,
+    codebook_size=1024,
+    codebook_dim=512,
+    downsample_factor=(2,),
+    ema_decay=0.8,
+    codebook_diversity_loss_weight=1.0,
+    codebook_diversity_temperature=100.0,
+)
+
+
+@pytest.fixture(scope="module")
+def pair():
+    ref = load_reference()
+    cfg = PAPER_TEACHER
+    torch_q = ref.vector_quantization.grfvq.DownsampleGRVQ(
+        input_dim=cfg.input_dim,
+        n_codebooks=cfg.n_codebooks,
+        n_groups=cfg.n_groups,
+        codebook_size=cfg.codebook_size,
+        codebook_dim=cfg.codebook_dim,
+        downsample_factor=tuple(cfg.downsample_factor),
+        ema_decay=cfg.ema_decay,
+        codebook_diversity_loss_weight=cfg.codebook_diversity_loss_weight,
+        codebook_diversity_temperature=cfg.codebook_diversity_temperature,
+    ).eval()
+    sd = {k: v.detach().numpy() for k, v in torch_q.state_dict().items()}
+    params, codebook = convert_quantizer(sd, cfg)
+    ours = DownsampleGRVQ(cfg)
+    return torch_q, ours, {"params": params, "codebook": codebook}
+
+
+def test_paper_teacher_roundtrip_parity(pair, rng):
+    torch_q, ours, variables = pair
+    x = rng.standard_normal((2, 1024, 24)).astype(np.float32)
+    with torch.no_grad():
+        res_ref = torch_q(torch.from_numpy(x))
+    res = ours.apply(variables, jnp.asarray(x.transpose(0, 2, 1)))
+    # codes (4, 2, 12, 8): exact agreement across all groups/residuals
+    np.testing.assert_array_equal(
+        np.asarray(res.codes), res_ref.codes.numpy()
+    )
+    np.testing.assert_allclose(
+        np.asarray(res.quantized).transpose(0, 2, 1),
+        res_ref.quantized.numpy(),
+        rtol=5e-4,
+        atol=5e-4,
+    )
+
+
+def test_paper_teacher_decode_parity(pair, rng):
+    torch_q, ours, variables = pair
+    codes = rng.integers(0, 1024, size=(4, 2, 12, 8))
+    with torch.no_grad():
+        z_ref = torch_q.decode(torch.from_numpy(codes)).numpy()
+    z = np.asarray(
+        ours.apply(variables, jnp.asarray(codes.astype(np.int32)), method="decode")
+    ).transpose(0, 2, 1)
+    np.testing.assert_allclose(z, z_ref, rtol=5e-4, atol=5e-4)
+
+
+def test_teacher_token_bookkeeping():
+    """4 groups x 8 residuals -> 32 codes per downsampled frame; token map
+    spans 4*1024 ids (one block per group — reference construct_audio_code
+    increments the offset once per group, distil_codec.py:220)."""
+    from distilcodec_nabeel_tpu.llm_bridge import construct_audio_code
+
+    codebooks = np.zeros((4, 8, 1024, 8), np.float32)
+    m = construct_audio_code(codebooks, tokens_id_offset=100)
+    assert "g3r7" in m and "g0r0" in m
+    assert m["g1r0"]["audio_code_token"]["0"]["absolute_token_id"] == 100 + 1024
+    specials = m["special_audio_tokens"]
+    assert specials[str(100 + 4 * 1024)]["content"] == "<|beginofaudio|>"
