@@ -26,7 +26,7 @@ BATCH = 16
 SR = 24000
 
 
-def bench_ours(iters: int = 10) -> dict:
+def bench_ours(iters: int = 40) -> dict:
     import jax
     import jax.numpy as jnp
 
