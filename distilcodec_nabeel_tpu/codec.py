@@ -197,26 +197,82 @@ class DistilCodec:
                 )
         self.variables = variables
 
-        def _jits(mod):
-            return {
-                "encode": jax.jit(
-                    lambda v, a: mod.apply(v, a, method="encode_result")
-                ),
-                "decode_codes": jax.jit(
-                    lambda v, c: mod.apply(v, c, method="decode_codes")
-                ),
-                "decode_feats": jax.jit(
-                    lambda v, f: mod.apply(v, f, method="decode_features")
-                ),
-                "roundtrip": jax.jit(lambda v, a: mod.apply(v, a)),
-            }
-
-        self._jit = {False: _jits(self.module), True: _jits(self.module_bf16)}
-
+        self._mesh = None
+        self._build_jits()
         # token map is built lazily: it materializes the full codebook on host
         # (hundreds of MB over the device tunnel) and is only needed by the
         # token-annotation surfaces, not by encode/decode throughput paths.
         self._gr_audio_code2token = None
+
+    def _build_jits(self):
+        """(Re)build the jitted paths, optionally data-parallel over a mesh."""
+        kw = {}
+        batch_sharding = None
+        if self._mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            replicated = NamedSharding(self._mesh, P())
+            batch_sharding = NamedSharding(self._mesh, P("data"))
+            codes_sharding = NamedSharding(self._mesh, P(None, "data"))
+
+        def _jits(mod):
+            if self._mesh is None:
+                return {
+                    "encode": jax.jit(
+                        lambda v, a: mod.apply(v, a, method="encode_result")
+                    ),
+                    "decode_codes": jax.jit(
+                        lambda v, c: mod.apply(v, c, method="decode_codes")
+                    ),
+                    "decode_feats": jax.jit(
+                        lambda v, f: mod.apply(v, f, method="decode_features")
+                    ),
+                    "roundtrip": jax.jit(lambda v, a: mod.apply(v, a)),
+                }
+            return {
+                "encode": jax.jit(
+                    lambda v, a: mod.apply(v, a, method="encode_result"),
+                    in_shardings=(replicated, batch_sharding),
+                ),
+                "decode_codes": jax.jit(
+                    lambda v, c: mod.apply(v, c, method="decode_codes"),
+                    in_shardings=(replicated, codes_sharding),
+                ),
+                "decode_feats": jax.jit(
+                    lambda v, f: mod.apply(v, f, method="decode_features"),
+                    in_shardings=(replicated, batch_sharding),
+                ),
+                "roundtrip": jax.jit(
+                    lambda v, a: mod.apply(v, a),
+                    in_shardings=(replicated, batch_sharding),
+                ),
+            }
+
+        if self._mesh is None:
+            self._jit = {False: _jits(self.module), True: _jits(self.module_bf16)}
+            self._jit_dp = None
+        else:
+            self._jit_dp = {
+                False: _jits(self.module),
+                True: _jits(self.module_bf16),
+            }
+
+    def _pick(self, enable_bfloat16: bool, kind: str, batch: int):
+        """DP jit when the batch divides the data axis, else the plain jit."""
+        if (
+            self._jit_dp is not None
+            and batch % self._mesh.shape["data"] == 0
+        ):
+            return self._jit_dp[bool(enable_bfloat16)][kind]
+        return self._jit[bool(enable_bfloat16)][kind]
+
+    def use_data_parallel(self, mesh) -> "DistilCodec":
+        """Shard batched inference along the mesh's ``data`` axis (params
+        replicated — BASELINE config 2's batched tokenization at scale).
+        Batch sizes must divide the data-axis size.  Returns self."""
+        self._mesh = mesh
+        self._build_jits()
+        return self
 
     @property
     def gr_audio_code2token(self) -> dict:
@@ -341,9 +397,9 @@ class DistilCodec:
             audios, gen_lengths, n_hop_lengths = self.preprocess_audio_batch(
                 audio_pathes
             )
-        result: GRVQResult = self._jit[bool(enable_bfloat16)]["encode"](
-            self.variables, jnp.asarray(audios)
-        )
+        result: GRVQResult = self._pick(
+            enable_bfloat16, "encode", audios.shape[0]
+        )(self.variables, jnp.asarray(audios))
         codes = np.asarray(result.codes)  # (G, B, L, R)
         x_pjt = np.asarray(result.x_pjt_in)  # (B, L, G*Dc)
         fup = np.asarray(result.quantized_fup)
@@ -399,7 +455,7 @@ class DistilCodec:
         if minus_token_offset:
             codes = [c - self.tokens_id_offset for c in codes]
         arr = np.asarray(codes, dtype=np.int32).reshape(1, 1, -1, 1)
-        wave = self._jit[bool(enable_bfloat16)]["decode_codes"](
+        wave = self._pick(enable_bfloat16, "decode_codes", 1)(
             self.variables, jnp.asarray(arr)
         )
         return np.asarray(wave)[:, None, :]
@@ -423,7 +479,7 @@ class DistilCodec:
         batch = np.zeros((1, len(codes_list), max_len, 1), dtype=np.int32)
         for i, codes in enumerate(codes_list):
             batch[0, i, : len(codes), 0] = np.asarray(codes, dtype=np.int32)
-        waves = self._jit[bool(enable_bfloat16)]["decode_codes"](
+        waves = self._pick(enable_bfloat16, "decode_codes", len(codes_list))(
             self.variables, jnp.asarray(batch)
         )
         waves = np.asarray(waves)
@@ -436,7 +492,7 @@ class DistilCodec:
         feats = jnp.asarray(quantized_features)
         if feats.shape[-1] != self.codec_config.quantizer.input_dim:
             feats = jnp.swapaxes(feats, -1, -2)
-        wave = self._jit[bool(enable_bfloat16)]["decode_feats"](
+        wave = self._pick(enable_bfloat16, "decode_feats", feats.shape[0])(
             self.variables, feats
         )
         return np.asarray(wave)[:, None, :]
@@ -446,7 +502,9 @@ class DistilCodec:
         audios, gen_lengths, n_hop_lengths = self.preprocess_audio_batch(
             audio_pathes
         )
-        wave, _ = self._jit[False]["roundtrip"](self.variables, jnp.asarray(audios))
+        wave, _ = self._pick(False, "roundtrip", audios.shape[0])(
+            self.variables, jnp.asarray(audios)
+        )
         return np.asarray(wave)[:, None, :], audios, gen_lengths, n_hop_lengths
 
     __call__ = forward

@@ -112,18 +112,23 @@ class Trainer:
         schedule = lambda step: adam.learning_rate * (
             adam.lr_decay ** (step // self.steps_per_epoch)
         )
-        self.gen_tx = optax.adamw(
-            schedule,
-            b1=adam.adam_b1,
-            b2=adam.adam_b2,
-            weight_decay=adam.weight_decay,
-        )
-        self.disc_tx = optax.adamw(
-            schedule,
-            b1=adam.adam_b1,
-            b2=adam.adam_b2,
-            weight_decay=adam.weight_decay,
-        )
+
+        def make_tx():
+            tx = optax.adamw(
+                schedule,
+                b1=adam.adam_b1,
+                b2=adam.adam_b2,
+                weight_decay=adam.weight_decay,
+            )
+            # gradient accumulation (train_config.json:55 accumulation_steps)
+            if self.train_cfg.accumulation_steps > 1:
+                tx = optax.MultiSteps(
+                    tx, every_k_schedule=self.train_cfg.accumulation_steps
+                )
+            return tx
+
+        self.gen_tx = make_tx()
+        self.disc_tx = make_tx()
 
     # ------------------------------------------------------------------ init
 
