@@ -105,6 +105,34 @@ class Conv1d(nn.Module):
         strategy = _conv_lowering()
         is_depthwise = self.groups == in_ch and self.features == in_ch
         use_mm = strategy == "mm" or (strategy == "auto" and is_depthwise)
+        # space-to-depth packing for small-channel dense convs (MXU lane fill)
+        import os as _os
+
+        if (
+            _os.environ.get("DISTILCODEC_PACK_SMALL_CH") == "1"
+            and strategy == "auto"
+            and not is_depthwise
+            and self.groups == 1
+            and self.stride == 1
+            and in_ch < 128
+            and 128 % in_ch == 0
+            and x.shape[1] % (128 // in_ch) == 0
+        ):
+            from ..ops.conv1d import conv1d_packed
+
+            y = conv1d_packed(
+                x.astype(dtype),
+                kernel.astype(dtype),
+                padding=self.padding,
+                dilation=self.dilation,
+                pack=128 // in_ch,
+            )
+            if self.use_bias:
+                b = self.param(
+                    "bias", nn.initializers.zeros, (self.features,), jnp.float32
+                )
+                y = (y.astype(jnp.float32) + b).astype(dtype)
+            return y.astype(dtype)
         if use_mm:
             from ..ops.conv1d import conv1d_mm
 

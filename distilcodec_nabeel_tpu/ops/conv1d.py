@@ -74,6 +74,60 @@ def conv1d_mm(
     return out.reshape(B, t_out, Cout).astype(x.dtype)
 
 
+def conv1d_packed(
+    x: jnp.ndarray,
+    w: jnp.ndarray,
+    *,
+    padding: int = 0,
+    dilation: int = 1,
+    pack: int = 4,
+) -> jnp.ndarray:
+    """Space-to-depth packed conv for small channel counts.
+
+    A stride-1 conv on (B, T, C) with C < 128 wastes most of the MXU's
+    128-wide lanes.  Packing ``pack`` consecutive samples into the channel dim
+    turns it into an equivalent conv on (B, T/pack, pack*C) with a
+    block-structured (M, pack*C, pack*C_out) kernel built from w — fewer,
+    fatter matmuls at full lane utilization (at the cost of the kernel's
+    structural zeros: M*pack^2*C*C_out vs K*C*C_out MACs).
+
+    Requires stride 1 and T % pack == 0.  Exact vs the unpacked conv.
+    """
+    B, T, Cin = x.shape
+    K, _, Cout = w.shape
+    assert T % pack == 0
+    S = T // pack
+    xp = jnp.pad(x, ((0, 0), (padding, 0), (0, 0)))
+    max_off = (pack - 1) + (K - 1) * dilation
+    M = max_off // pack + 1
+    need = pack * (S + M - 1)
+    cur = T + padding
+    if need > cur:
+        xp = jnp.pad(xp, ((0, 0), (0, need - cur), (0, 0)))
+    else:
+        xp = xp[:, :need]
+    xpk = xp.reshape(B, S + M - 1, pack * Cin)
+
+    wpk = jnp.zeros((M, pack * Cin, pack * Cout), w.dtype)
+    for j in range(pack):
+        for k in range(K):
+            o = j + k * dilation
+            m, j2 = divmod(o, pack)
+            wpk = wpk.at[
+                m, j2 * Cin : (j2 + 1) * Cin, j * Cout : (j + 1) * Cout
+            ].add(w[k])
+
+    y = jax.lax.conv_general_dilated(
+        xpk,
+        wpk,
+        window_strides=(1,),
+        padding="VALID",
+        dimension_numbers=("NHC", "HIO", "NHC"),
+        preferred_element_type=jnp.float32,
+    )  # (B, S, pack*Cout)
+    return y.reshape(B, T, Cout).astype(x.dtype)
+
+
 def conv_transpose1d_mm(
     x: jnp.ndarray,
     w: jnp.ndarray,

@@ -81,3 +81,25 @@ def test_convtr_mm_matches_lax(rng, cin, cout, k, stride, padding):
     got = conv_transpose1d_mm(x, w, stride=stride, padding=padding)
     assert got.shape == ref.shape
     np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize(
+    "c,k,dilation,pack",
+    [
+        (16, 3, 1, 4),
+        (16, 7, 1, 4),
+        (16, 11, 5, 4),
+        (32, 11, 5, 2),
+        (16, 3, 3, 8),
+    ],
+)
+def test_conv1d_packed_matches_lax(rng, c, k, dilation, pack):
+    from distilcodec_nabeel_tpu.ops.conv1d import conv1d_packed
+
+    pad = (k * dilation - dilation) // 2
+    x = jnp.asarray(rng.standard_normal((2, 64, c)).astype(np.float32))
+    w = jnp.asarray(rng.standard_normal((k, c, c)).astype(np.float32))
+    ref = lax_conv(x, w, 1, pad, dilation, 1)
+    got = conv1d_packed(x, w, padding=pad, dilation=dilation, pack=pack)
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-4)
