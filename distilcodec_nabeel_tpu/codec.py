@@ -338,6 +338,8 @@ class DistilCodec:
         max_length = 0
         for audio, sr in audio_data_info_list:
             audio = np.asarray(audio, dtype=np.float32)
+            if audio.size == 0:
+                raise ValueError("preprocess: got empty audio")
             if sr != self.spec_config.sampling_rate:
                 audio = audio_io.resample(
                     audio, sr, self.spec_config.sampling_rate
@@ -454,6 +456,7 @@ class DistilCodec:
         """Flat token list -> waveform (1, 1, L·hop·ds) — distil_codec.py:581-594."""
         if minus_token_offset:
             codes = [c - self.tokens_id_offset for c in codes]
+        self._validate_codes(codes)
         arr = np.asarray(codes, dtype=np.int32).reshape(1, 1, -1, 1)
         wave = self._pick(enable_bfloat16, "decode_codes", 1)(
             self.variables, jnp.asarray(arr)
@@ -475,6 +478,8 @@ class DistilCodec:
             codes_list = [
                 [c - self.tokens_id_offset for c in codes] for codes in codes_list
             ]
+        for codes in codes_list:
+            self._validate_codes(codes)
         max_len = max(len(c) for c in codes_list)
         batch = np.zeros((1, len(codes_list), max_len, 1), dtype=np.int32)
         for i, codes in enumerate(codes_list):
@@ -484,6 +489,23 @@ class DistilCodec:
         )
         waves = np.asarray(waves)
         return [waves[i : i + 1, None, :] for i in range(len(codes_list))]
+
+    def _validate_codes(self, codes) -> None:
+        """Out-of-range code ids would otherwise gather NaN rows silently
+        (jnp OOB gather fill); raise a clear error instead (the reference
+        dies with a CUDA device assert here)."""
+        K = self.codec_config.quantizer.codebook_size
+        arr = np.asarray(codes)
+        if arr.size == 0:
+            raise ValueError("decode_from_codes: empty code sequence")
+        bad = (arr < 0) | (arr >= K)
+        if bad.any():
+            first = arr[bad].flat[0]
+            raise ValueError(
+                f"code id {int(first)} out of range [0, {K}) — "
+                f"did you forget minus_token_offset (offset "
+                f"{self.tokens_id_offset})?"
+            )
 
     def decode_from_features(
         self, quantized_features, enable_bfloat16: bool = False

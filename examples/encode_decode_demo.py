@@ -8,7 +8,10 @@ Without a checkpoint, pass ``--random-init`` to run the flow with random
 weights (useful to validate the pipeline without the published g_00204000).
 """
 
+import os
 import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 

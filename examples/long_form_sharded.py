@@ -6,7 +6,10 @@ exchange over ICI; on a single host you can simulate with
 ``JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=8``.
 """
 
+import os
 import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 
@@ -25,9 +28,9 @@ def main(argv):
     if len(argv) > 1:
         audio, _ = load_wav(argv[1], sr=24000)
     else:
-        audio = (np.random.default_rng(0).standard_normal(24000 * 60) * 0.1).astype(
+        audio = (np.random.default_rng(0).standard_normal(24000 * 24) * 0.1).astype(
             np.float32
-        )  # 1 minute
+        )  # 24 seconds
 
     codes = sharded.encode_codes(audio)
     n_valid = audio.shape[-1] // codec.hop_size
