@@ -31,6 +31,9 @@ def bench_ours(iters: int = 40) -> dict:
     import jax.numpy as jnp
 
     from distilcodec_nabeel_tpu import DistilCodec
+    from distilcodec_nabeel_tpu.utils.common import enable_compilation_cache
+
+    enable_compilation_cache()
 
     with open("/root/reference/configs/model_config.json") as f:
         cfg = json.load(f)

@@ -274,6 +274,18 @@ class DistilCodec:
         self._build_jits()
         return self
 
+    def fold_weight_norm(self) -> "DistilCodec":
+        """Fold all (g, v) weight-norm pairs into plain weights — the
+        reference's inference-export ``remove_weight_norm``
+        (generators.py:149-155).  Numerically identical forward; the stored
+        checkpoint becomes plain weights.  Returns self."""
+        from .models.blocks import fold_weight_norm
+
+        self.variables = dict(
+            self.variables, params=fold_weight_norm(self.variables["params"])
+        )
+        return self
+
     @property
     def gr_audio_code2token(self) -> dict:
         if self._gr_audio_code2token is None:

@@ -31,6 +31,45 @@ def get_padding(kernel_size: int, dilation: int = 1) -> int:
     return (kernel_size * dilation - dilation) // 2
 
 
+def fold_weight_norm(params, _path=()):
+    """Fold (g, v) weight-norm pairs into plain weights — the functional
+    analog of the reference's ``remove_weight_norm`` inference export
+    (generators.py:149-155, convnext_utils.py:105-110).
+
+    Every ``{v, g}`` leaf dict is rewritten so that ``v`` holds the folded
+    weight ``w = g·v/||v||`` and ``g = ||w||`` — the module's normalization
+    then reproduces ``w`` exactly (and the fold is idempotent), so no module
+    reconfiguration is needed and the checkpoint becomes plain weights.
+
+    Normalization axes per layer kind (matching torch ``weight_norm(dim=0)``
+    over each layout): rank-4 Conv2d (kh, kw, in, out) and dense Conv1d
+    (k, in, out) -> g per *output* channel; ConvTranspose1d (k, in, out) -> g
+    per *input* channel.  Transposed layers are identified by module name
+    (generator ``ups_*``; quantizer upsample convs are not weight-normed).
+    """
+    if not isinstance(params, dict):
+        return params
+    if "v" in params and "g" in params:
+        v, g = params["v"], params["g"]
+        name = _path[-1] if _path else ""
+        is_transpose = name.startswith("ups_") or (
+            name.startswith("upsample") and name.endswith("conv")
+        )
+        if v.ndim == 4:
+            axes, bcast = (0, 1, 2), (1, 1, 1, -1)
+        elif is_transpose:
+            assert g.shape[0] == v.shape[1], (_path, v.shape, g.shape)
+            axes, bcast = (0, 2), (1, -1, 1)
+        else:
+            assert g.shape[0] == v.shape[2], (_path, v.shape, g.shape)
+            axes, bcast = (0, 1), (1, 1, -1)
+        norm = jnp.sqrt(jnp.sum(jnp.square(v), axis=axes, keepdims=True))
+        w = v * (g.reshape(bcast) / norm)
+        new_g = jnp.sqrt(jnp.sum(jnp.square(w), axis=axes))
+        return {**params, "v": w, "g": new_g}
+    return {k: fold_weight_norm(val, _path + (k,)) for k, val in params.items()}
+
+
 class LayerNorm(nn.Module):
     """LayerNorm over the channel (last) axis with eps=1e-6.
 

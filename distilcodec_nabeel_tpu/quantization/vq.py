@@ -17,15 +17,40 @@ Behavioral twin of the reference's lucidrains-derived stack
   fused Pallas distance+argmin kernel (ops/vq_argmin.py) that never
   materializes the (N, 32768) distance matrix.
 
+Full reference configuration surface (vector_quantize_pytorch.py:723-763),
+including the knobs no shipped config turns on:
+
+* multi-head codes (``heads`` / ``separate_codebook_per_head``, :748-772,
+  :952-954) — input split into H heads quantized against one shared or H
+  separate codebooks;
+* ``learnable_codebook`` (+ functional in-place codebook optimizer,
+  :855-858, :979-1001) — the codebook becomes a gradient target instead of
+  (or in addition to) the EMA transition;
+* orthogonal regularization (:257-262, :1095-1112) with
+  ``active_codes_only`` / ``max_codes`` subsetting;
+* affine re-parameterization of the codebook (:347-439, :487-494, :511) —
+  running batch/codebook mean+variance, codebook affinely matched to the
+  batch distribution before the distance;
+* cross-entropy commitment loss (:1016-1042, :1073-1086) and the
+  pass-in-indices CE scoring path (:1038-1042);
+* variable-length masking (``mask``/``lens``, :917-920, :1139-1157);
+* straight-through / reinmax gumbel sampling (:99-117) and ``sync_update_v``
+  (:1013-1015).
+
 Reference quirk preserved deliberately: the codebook-diversity loss builds its
 distribution as ``softmax(+distance * temperature)`` (mass on *far* codes) —
 see vector_quantize_pytorch.py:1061-1066 where ``distances`` is already the
 negative distance.  We replicate exactly for training parity.
+
+Reference quirk NOT replicated (documented): reinmax's second softmax uses
+``dim=1`` (a token axis) instead of the code axis (vector_quantize_pytorch.py
+:109 ``π1.softmax(dim = 1)``) — an upstream bug in a feature no config
+enables; we use the code axis per the ReinMax paper (arXiv:2304.08612).
 """
 
 from __future__ import annotations
 
-from typing import Any, Sequence
+from typing import Any
 
 import flax.linen as nn
 import flax.struct
@@ -41,22 +66,46 @@ def _kaiming_uniform_init(key, shape, dtype=jnp.float32):
     return jax.random.uniform(key, shape, dtype, minval=-bound, maxval=bound)
 
 
+def vq_matmul_precision() -> jax.lax.Precision:
+    """MXU precision of the nearest-neighbor distance matmul.
+
+    ``DISTILCODEC_VQ_PRECISION``:
+    * ``high`` (default) — bf16x3 passes; measured bit-identical argmins to
+      HIGHEST at the flagship shape, 5.6x faster than bf16x6.
+    * ``default`` — single bf16 pass ("throughput mode"): ~2x faster encode
+      VQ stage; measured 0.33% argmin flips at the flagship shape, all on
+      near-ties (quality-neutral), so token ids are NOT guaranteed
+      reference-exact.
+    * ``highest`` — bf16x6, the conservative reference-numerics mode.
+
+    Read at trace time: set before the first encode; already-compiled
+    programs keep their precision.
+    """
+    import os
+
+    name = os.environ.get("DISTILCODEC_VQ_PRECISION", "high").upper()
+    return getattr(jax.lax.Precision, name, jax.lax.Precision.HIGH)
+
+
 def pairwise_distance(
-    x: jnp.ndarray, embed: jnp.ndarray, *, precision=jax.lax.Precision.HIGH
+    x: jnp.ndarray, embed: jnp.ndarray, *, precision=None
 ) -> jnp.ndarray:
     """Euclidean distance matrix ``sqrt(clamp(|x|^2+|e|^2-2xe, 0))``.
 
     Same formulation as the reference ``cdist``
-    (vector_quantize_pytorch.py:41-45).  x: (N, D), embed: (K, D) -> (N, K).
-    Precision HIGH = bf16x3 MXU passes: measured bit-identical argmins to
-    HIGHEST (bf16x6) at the flagship shape, 5.6x faster.
+    (vector_quantize_pytorch.py:41-45).  x: (..., N, D), embed: (..., K, D)
+    -> (..., N, K).  Precision HIGH = bf16x3 MXU passes: measured
+    bit-identical argmins to HIGHEST (bf16x6) at the flagship shape, 5.6x
+    faster.
     """
+    if precision is None:
+        precision = vq_matmul_precision()
     x = x.astype(jnp.float32)
     embed = embed.astype(jnp.float32)
     x2 = jnp.sum(jnp.square(x), axis=-1)
     e2 = jnp.sum(jnp.square(embed), axis=-1)
-    xy = jnp.matmul(x, embed.T, precision=precision)
-    d2 = x2[:, None] + e2[None, :] - 2.0 * xy
+    xy = jnp.einsum("...nd,...kd->...nk", x, embed, precision=precision)
+    d2 = x2[..., :, None] + e2[..., None, :] - 2.0 * xy
     return jnp.sqrt(jnp.clip(d2, 0.0, None))
 
 
@@ -70,8 +119,9 @@ def nearest_code_xla(x: jnp.ndarray, embed: jnp.ndarray) -> jnp.ndarray:
     x = x.astype(jnp.float32)
     embed = embed.astype(jnp.float32)
     e2 = jnp.sum(jnp.square(embed), axis=-1)
-    # HIGH (bf16x3) measured: identical argmins to HIGHEST at 5.6x the speed
-    xy = jnp.matmul(x, embed.T, precision=jax.lax.Precision.HIGH)
+    # HIGH (bf16x3) measured: identical argmins to HIGHEST at 5.6x the speed;
+    # DISTILCODEC_VQ_PRECISION=default selects the bf16x1 throughput mode
+    xy = jnp.matmul(x, embed.T, precision=vq_matmul_precision())
     return jnp.argmin(e2[None, :] - 2.0 * xy, axis=-1).astype(jnp.int32)
 
 
@@ -92,57 +142,275 @@ def nearest_code(x: jnp.ndarray, embed: jnp.ndarray) -> jnp.ndarray:
     return nearest_code_xla(x, embed)
 
 
+def orthogonal_loss(
+    embed: jnp.ndarray,
+    select_mask: jnp.ndarray | None = None,
+) -> jnp.ndarray:
+    """Eq (2) of arXiv:2112.00384 over a (C, K, D) codebook stack
+    (reference orthogonal_loss_fn, vector_quantize_pytorch.py:257-262).
+
+    ``select_mask`` (K,) restricts the regularizer to a code subset (the
+    active-codes / max-codes options) without dynamic shapes: the masked
+    cosine-similarity sum over the selected submatrix equals the reference's
+    gather-then-regularize, with n = mask sum.
+    """
+    embed = embed.astype(jnp.float32)
+    c = embed.shape[0]
+    normed = _l2norm(embed)
+    cos = jnp.einsum(
+        "cid,cjd->cij", normed, normed, precision=jax.lax.Precision.HIGHEST
+    )
+    sq = jnp.square(cos)
+    if select_mask is None:
+        n = jnp.float32(embed.shape[1])
+        total = jnp.sum(sq)
+    else:
+        m = select_mask.astype(jnp.float32)
+        n = jnp.sum(m)
+        total = jnp.sum(sq * m[None, :, None] * m[None, None, :])
+    n = jnp.maximum(n, 1.0)
+    return total / (c * jnp.square(n)) - 1.0 / n
+
+
 @flax.struct.dataclass
 class VQLayerOut:
-    quantized: jnp.ndarray  # (B, T, D) — straight-through in training
-    indices: jnp.ndarray  # (B, T) int32
+    quantized: jnp.ndarray  # (B, T, dim) — straight-through in training
+    indices: jnp.ndarray  # (B, T) int32, or (B, T, H) when heads > 1
     commit_loss: jnp.ndarray  # scalar
     diversity_loss: jnp.ndarray  # scalar
-    loss: jnp.ndarray  # commitment_weight * commit + diversity_weight * div
+    orthogonal_loss: jnp.ndarray  # scalar
+    ce_loss: jnp.ndarray  # scalar CE to target_indices (0 if not requested)
+    loss: jnp.ndarray  # weighted sum of commit + diversity + orthogonal
+    quantized_raw: jnp.ndarray  # pre-straight-through codebook output (B,T,dim)
+    x_pre_quant: jnp.ndarray  # codebook-space input (post project_in/l2norm)
 
 
 class VectorQuantize(nn.Module):
     """One EMA-codebook VQ layer over (B, T, dim) tokens.
 
-    Mirrors reference VectorQuantize + EuclideanCodebook with the student /
-    teacher configuration surface (decay, diversity loss, dead-code expiry).
+    Mirrors reference VectorQuantize + EuclideanCodebook/CosineSimCodebook
+    (vector_quantize_pytorch.py:723-1164, :266-712) with the full
+    configuration surface — student / teacher knobs (decay, diversity loss,
+    dead-code expiry) plus multi-head codes, learnable codebook, orthogonal
+    regularization, affine re-parameterization, CE commitment, and masking.
+
+    Canonical internal layout is ``(C, M, T, w)``: C codebooks (H when
+    ``separate_codebook_per_head`` else 1), M an extended batch (B·H/C), and
+    w the per-head codebook width.  This mirrors the reference's einops
+    rearranges ``'b n (h d) -> h b n d'`` / ``'-> 1 (b h) n d'``
+    (vector_quantize_pytorch.py:952-954) with the sequence axis kept minor so
+    diversity statistics stay per-position.
     """
 
     dim: int
     codebook_size: int
+    codebook_dim: int | None = None  # per-head codebook width (default: dim)
+    heads: int = 1
+    separate_codebook_per_head: bool = False
     decay: float = 0.8
     eps: float = 1e-5
     commitment_weight: float = 1.0
+    commitment_use_cross_entropy_loss: bool = False
     codebook_diversity_loss_weight: float = 0.0
     codebook_diversity_temperature: float = 100.0
+    orthogonal_reg_weight: float = 0.0
+    orthogonal_reg_active_codes_only: bool = False
+    orthogonal_reg_max_codes: int | None = None
     threshold_ema_dead_code: float = 0.0
     kmeans_init: bool = False
     use_cosine_sim: bool = False
+    layernorm_after_project_in: bool = False
     stochastic_sample_codes: bool = False
     sample_codebook_temp: float = 1.0
+    straight_through: bool = False  # ST-gumbel onehot (reference :99-117)
+    reinmax: bool = False
+    ema_update: bool = True
+    learnable_codebook: bool = False
+    sync_update_v: float = 0.0
+    affine_param: bool = False
+    affine_param_batch_decay: float = 0.99
+    affine_param_codebook_decay: float = 0.9
+    return_zeros_for_masked_padding: bool = True
+
+    @property
+    def _codebook_width(self) -> int:
+        return self.codebook_dim if self.codebook_dim is not None else self.dim
+
+    @property
+    def _num_codebooks(self) -> int:
+        return self.heads if self.separate_codebook_per_head else 1
+
+    @property
+    def _requires_projection(self) -> bool:
+        return self._codebook_width * self.heads != self.dim
 
     def setup(self):
+        assert not (self.ema_update and self.learnable_codebook), (
+            "learnable codebook not compatible with EMA update "
+            "(reference vector_quantize_pytorch.py:805)"
+        )
+        assert not (self.affine_param and self.use_cosine_sim), (
+            "affine param is only compatible with the euclidean codebook "
+            "(reference vector_quantize_pytorch.py:841)"
+        )
+        assert not (self.reinmax and not self.straight_through), (
+            "reinmax requires straight-through gumbel "
+            "(reference vector_quantize_pytorch.py:97)"
+        )
+        assert 0.0 <= self.sync_update_v <= 1.0
+        C, K, w = self._num_codebooks, self.codebook_size, self._codebook_width
+        embed_shape = (K, w) if C == 1 else (C, K, w)
+        cs_shape = (K,) if C == 1 else (C, K)
         init_fn = (
             nn.initializers.zeros if self.kmeans_init else _kaiming_uniform_init
         )
+        if self._requires_projection:
+            self.project_in = nn.Dense(w * self.heads, name="project_in")
+            self.project_out = nn.Dense(self.dim, name="project_out")
+            if self.layernorm_after_project_in:
+                self.project_in_ln = nn.LayerNorm(name="project_in_ln")
         self.embed = self.variable(
             "codebook",
             "embed",
-            lambda: init_fn(
-                self.make_rng("params"), (self.codebook_size, self.dim)
-            ),
+            lambda: init_fn(self.make_rng("params"), embed_shape),
         )
         self.embed_avg = self.variable(
             "codebook", "embed_avg", lambda: jnp.array(self.embed.value)
         )
         self.cluster_size = self.variable(
-            "codebook", "cluster_size", lambda: jnp.ones((self.codebook_size,))
+            "codebook", "cluster_size", lambda: jnp.ones(cs_shape)
         )
         self.initted = self.variable(
             "codebook",
             "initted",
             lambda: jnp.array(0.0 if self.kmeans_init else 1.0, jnp.float32),
         )
+        if self.affine_param:
+            # running batch/codebook statistics (reference update_with_decay
+            # registers these lazily, :392-407; we allocate them up front with
+            # an initted flag reproducing the set-on-first-call semantics)
+            zeros = lambda: jnp.zeros((C, 1, w), jnp.float32)  # noqa: E731
+            ones = lambda: jnp.ones((C, 1, w), jnp.float32)  # noqa: E731
+            self.codebook_mean = self.variable("codebook", "codebook_mean", zeros)
+            self.codebook_variance = self.variable(
+                "codebook", "codebook_variance", ones
+            )
+            self.batch_mean = self.variable("codebook", "batch_mean", zeros)
+            self.batch_variance = self.variable(
+                "codebook", "batch_variance", ones
+            )
+            self.affine_initted = self.variable(
+                "codebook",
+                "affine_initted",
+                lambda: jnp.zeros((2,), jnp.float32),  # [codebook, batch]
+            )
+
+    # ------------------------------------------------------------------ #
+    # layout helpers                                                     #
+    # ------------------------------------------------------------------ #
+
+    def _to_canonical(self, x32: jnp.ndarray) -> jnp.ndarray:
+        """(B, T, H*w) -> (C, M, T, w)."""
+        B, T, _ = x32.shape
+        H, w = self.heads, self._codebook_width
+        xr = x32.reshape(B, T, H, w)
+        if self.separate_codebook_per_head:
+            return jnp.transpose(xr, (2, 0, 1, 3))  # (H, B, T, w)
+        return jnp.transpose(xr, (0, 2, 1, 3)).reshape(1, B * H, T, w)
+
+    def _from_canonical(self, xc: jnp.ndarray, B: int, T: int) -> jnp.ndarray:
+        """(C, M, T, w) -> (B, T, H*w)."""
+        H, w = self.heads, self._codebook_width
+        if self.separate_codebook_per_head:
+            xr = jnp.transpose(xc, (1, 2, 0, 3))  # (B, T, H, w)
+        else:
+            xr = jnp.transpose(
+                xc.reshape(B, H, T, w), (0, 2, 1, 3)
+            )  # (B, T, H, w)
+        return xr.reshape(B, T, H * w)
+
+    def _indices_from_canonical(
+        self, ind: jnp.ndarray, B: int, T: int
+    ) -> jnp.ndarray:
+        """(C, M, T) -> (B, T) [heads==1] or (B, T, H)."""
+        H = self.heads
+        if H == 1:
+            return ind.reshape(B, T)
+        if self.separate_codebook_per_head:
+            return jnp.transpose(ind, (1, 2, 0))  # (B, T, H)
+        return jnp.transpose(ind.reshape(B, H, T), (0, 2, 1))
+
+    def _canonical_embed(self) -> jnp.ndarray:
+        """Stored embed -> (C, K, w)."""
+        e = self.embed.value
+        return e[None] if self._num_codebooks == 1 else e
+
+    def _affine_transformed_embed(self, embed_c: jnp.ndarray):
+        """Affine codebook->batch transform (vector_quantize_pytorch.py
+        :491-494).  Returns (transformed embed, codebook_std, batch_std)."""
+        cb_std = jnp.sqrt(jnp.clip(self.codebook_variance.value, 1e-5, None))
+        b_std = jnp.sqrt(jnp.clip(self.batch_variance.value, 1e-5, None))
+        emb = (embed_c - self.codebook_mean.value) * (
+            b_std / cb_std
+        ) + self.batch_mean.value
+        return emb, cb_std, b_std
+
+    def _update_affine(
+        self, flat: jnp.ndarray, mask_flat: jnp.ndarray | None, training: bool
+    ):
+        """Running mean/var updates (reference update_affine, :372-439).
+
+        Batch statistics are computed as *global* reductions over the token
+        axis, so under a data-sharded pjit they are the synchronized stats —
+        i.e. ``sync_affine_param=True`` semantics; the per-replica variant is
+        not representable (and not wanted) under GSPMD.
+        """
+        d_cb = self.affine_param_codebook_decay
+        d_b = self.affine_param_batch_decay
+        initted = self.affine_initted.value
+
+        def decayed(old, new, decay, was_init):
+            return jnp.where(was_init > 0.0, old * decay + new * (1 - decay), new)
+
+        if training:
+            embed_c = self._canonical_embed().astype(jnp.float32)
+            cb_mean = jnp.mean(embed_c, axis=1, keepdims=True)
+            cb_var = jnp.var(embed_c, axis=1, keepdims=True)
+            self.codebook_mean.value = decayed(
+                self.codebook_mean.value, cb_mean, d_cb, initted[0]
+            )
+            self.codebook_variance.value = decayed(
+                self.codebook_variance.value, cb_var, d_cb, initted[0]
+            )
+
+        if mask_flat is None:
+            b_mean = jnp.mean(flat, axis=1, keepdims=True)
+            b_var = jnp.var(flat, axis=1, keepdims=True)
+        else:
+            m = mask_flat.astype(jnp.float32)[..., None]  # (C, N, 1)
+            denom = jnp.maximum(jnp.sum(m, axis=1, keepdims=True), 1.0)
+            b_mean = jnp.sum(flat * m, axis=1, keepdims=True) / denom
+            b_var = (
+                jnp.sum(jnp.square(flat - b_mean) * m, axis=1, keepdims=True)
+                / denom
+            )
+        self.batch_mean.value = decayed(
+            self.batch_mean.value, b_mean, d_b, initted[1]
+        )
+        self.batch_variance.value = decayed(
+            self.batch_variance.value, b_var, d_b, initted[1]
+        )
+        self.affine_initted.value = jnp.array(
+            [
+                jnp.where(training, 1.0, initted[0]),
+                1.0,
+            ],
+            jnp.float32,
+        )
+
+    # ------------------------------------------------------------------ #
+    # forward                                                            #
+    # ------------------------------------------------------------------ #
 
     def __call__(
         self,
@@ -151,114 +419,352 @@ class VectorQuantize(nn.Module):
         training: bool = False,
         update_ema: bool = True,
         freeze_codebook: bool = False,
+        mask: jnp.ndarray | None = None,
+        target_indices: jnp.ndarray | None = None,
     ) -> VQLayerOut:
+        """x: (B, T, dim); optional mask (B, T) bool marks valid tokens
+        (reference ``mask``/``lens``, vector_quantize_pytorch.py:917-920);
+        optional target_indices scores x against given codes with CE
+        (reference return-loss path, :1038-1042)."""
         B, T, D = x.shape
         assert D == self.dim
+        orig_input = x
+        H, C, w = self.heads, self._num_codebooks, self._codebook_width
+        K = self.codebook_size
+
+        if self._requires_projection:
+            x = self.project_in(x)
+            if self.layernorm_after_project_in:
+                x = self.project_in_ln(x)
         x32 = x.astype(jnp.float32)
-        flat = x32.reshape(-1, D)
-        embed = self.embed.value
+
+        xc = self._to_canonical(x32)  # (C, M, T, w)
+        M = xc.shape[1]
+        flat = xc.reshape(C, M * T, w)  # (C, N, w)
+        embed_c = self._canonical_embed().astype(jnp.float32)
+
+        mask_flat = None
+        if mask is not None:
+            if self.separate_codebook_per_head:
+                mc = jnp.broadcast_to(mask[None], (H, B, T))
+            else:
+                mc = jnp.broadcast_to(mask[:, None], (B, H, T)).reshape(
+                    1, B * H, T
+                )
+            mask_flat = mc.reshape(C, M * T)
 
         if self.use_cosine_sim:
             # CosineSimCodebook semantics (vector_quantize_pytorch.py:540-712):
             # inputs and codebook live on the unit sphere; "distance" is
             # cosine similarity and selection is argmax.
             flat = _l2norm(flat)
-            embed = _l2norm(embed)
+            embed_c = _l2norm(embed_c)
 
-        if training:
+        cb_std = b_std = None
+        if self.affine_param:
+            # the reference mutates the running stats on every forward
+            # (update_affine, :487-488); we can only do so when the codebook
+            # collection is mutable — eval-without-mutation reads stored stats
+            if self.is_mutable_collection("codebook"):
+                self._update_affine(flat, mask_flat, training)
+            embed_c, cb_std, b_std = self._affine_transformed_embed(embed_c)
+
+        # codebook-level learnable = orthogonal loss or learnable flag
+        # (reference vector_quantize_pytorch.py:834 codebook_kwargs)
+        codebook_grads = self.learnable_codebook or self.orthogonal_reg_weight > 0
+        emb_dist = embed_c if codebook_grads else jax.lax.stop_gradient(embed_c)
+
+        need_full_dist = training or target_indices is not None
+        onehot_st = None  # straight-through onehot carrying gradient
+        if need_full_dist:
             if self.use_cosine_sim:
-                sim = jnp.matmul(
+                sim = jnp.einsum(
+                    "cnd,ckd->cnk",
                     flat,
-                    jax.lax.stop_gradient(embed).T,
+                    emb_dist,
                     precision=jax.lax.Precision.HIGH,
                 )
                 dist = -sim  # keep "smaller is nearer" convention below
             else:
-                # full distance matrix needed for the diversity loss gradient
-                dist = pairwise_distance(flat, jax.lax.stop_gradient(embed))
-            if self.stochastic_sample_codes and self.sample_codebook_temp > 0:
+                dist = pairwise_distance(flat, emb_dist)
+            logits = -dist
+            stochastic = (
+                training
+                and self.stochastic_sample_codes
+                and self.sample_codebook_temp > 0
+            )
+            if stochastic:
                 # gumbel sampling over -dist logits
                 # (vector_quantize_pytorch.py:80-117)
                 g = jax.random.gumbel(
                     self.make_rng("gumbel"), dist.shape, jnp.float32
                 )
-                ind = jnp.argmax(
-                    -dist / self.sample_codebook_temp + g, axis=-1
-                ).astype(jnp.int32)
+                sampling_logits = logits / self.sample_codebook_temp + g
             else:
-                ind = jnp.argmin(dist, axis=-1).astype(jnp.int32)
+                sampling_logits = logits
+            ind = jnp.argmax(sampling_logits, axis=-1).astype(jnp.int32)
+            if (
+                training
+                and self.straight_through
+                and self.sample_codebook_temp > 0
+            ):
+                hard = jax.nn.one_hot(ind, K, dtype=jnp.float32)
+                if self.reinmax:
+                    # ReinMax algorithm 2 (arXiv:2304.08612); see module
+                    # docstring for the reference's dim=1 quirk we fix.
+                    pi0 = jax.nn.softmax(logits, axis=-1)
+                    pi1 = (
+                        hard
+                        + jax.nn.softmax(
+                            logits / self.sample_codebook_temp, axis=-1
+                        )
+                    ) / 2.0
+                    pi1 = jax.nn.softmax(
+                        jax.lax.stop_gradient(
+                            jnp.log(jnp.clip(pi1, 1e-20, None)) - logits
+                        )
+                        + logits,
+                        axis=-1,
+                    )
+                    pi2 = 2.0 * pi1 - 0.5 * pi0
+                    onehot_st = pi2 - jax.lax.stop_gradient(pi2) + hard
+                else:
+                    soft = jax.nn.softmax(
+                        logits / self.sample_codebook_temp, axis=-1
+                    )
+                    onehot_st = hard + soft - jax.lax.stop_gradient(soft)
         else:
             dist = None
             if self.use_cosine_sim:
-                sim = jnp.matmul(
-                    flat, embed.T, precision=jax.lax.Precision.HIGH
+                sim = jnp.einsum(
+                    "cnd,ckd->cnk",
+                    flat,
+                    embed_c,
+                    precision=jax.lax.Precision.HIGH,
                 )
                 ind = jnp.argmax(sim, axis=-1).astype(jnp.int32)
+            elif C == 1:
+                ind = nearest_code(flat[0], embed_c[0])[None]
             else:
-                ind = nearest_code(flat, embed)
+                e2 = jnp.sum(jnp.square(embed_c), axis=-1)  # (C, K)
+                xy = jnp.einsum(
+                    "cnd,ckd->cnk",
+                    flat,
+                    embed_c,
+                    precision=jax.lax.Precision.HIGH,
+                )
+                ind = jnp.argmin(
+                    e2[:, None, :] - 2.0 * xy, axis=-1
+                ).astype(jnp.int32)
 
-        quantize = jnp.take(embed, ind, axis=0)  # (N, D)
+        if onehot_st is not None:
+            # gradient flows through the soft assignment (and into the
+            # codebook when learnable) — reference quantize = onehot @ embed
+            # in training (vector_quantize_pytorch.py:504-505)
+            quantize = jnp.einsum("cnk,ckd->cnd", onehot_st, emb_dist)
+        else:
+            quantize = jnp.take_along_axis(
+                emb_dist, ind[..., None], axis=1
+            )  # (C, N, w)
+
+        ce_loss = jnp.zeros((), jnp.float32)
+        if target_indices is not None:
+            tgt = self._target_to_canonical(target_indices, B, T, M)
+            ce_loss = self._ce(dist, tgt, mask_flat)
 
         commit_loss = jnp.zeros((), jnp.float32)
         diversity_loss = jnp.zeros((), jnp.float32)
+        orth_loss = jnp.zeros((), jnp.float32)
         if training:
-            commit_loss = jnp.mean(
-                jnp.square(jax.lax.stop_gradient(quantize) - flat)
+            # commit target detaches unless VQ-level learnable codebook
+            # (reference maybe_detach, vector_quantize_pytorch.py:1005-1007)
+            commit_q = (
+                quantize
+                if (self.learnable_codebook and not freeze_codebook)
+                else jax.lax.stop_gradient(quantize)
             )
+            if self.commitment_use_cross_entropy_loss:
+                commit_loss = self._ce(dist, ind, mask_flat)
+            elif mask_flat is None:
+                commit_loss = jnp.mean(jnp.square(commit_q - flat))
+            else:
+                m = mask_flat.astype(jnp.float32)[..., None]
+                commit_loss = jnp.sum(
+                    jnp.square(commit_q - flat) * m
+                ) / jnp.maximum(jnp.sum(m) * w, 1.0)
             if self.codebook_diversity_loss_weight > 0.0:
                 # reference quirk: softmax over +distance (see module docstring)
                 prob = jax.nn.softmax(
                     dist * self.codebook_diversity_temperature, axis=-1
                 )
-                avg_prob = jnp.mean(
-                    prob.reshape(B, T, self.codebook_size), axis=0
-                )  # (T, K): per-position batch average (reference :1063)
+                # average over codebooks and extended batch, keep positions
+                # (reference reduce '... n l -> n l', :1063)
+                avg_prob = jnp.mean(prob.reshape(C * M, T, K), axis=0)
                 ent = -jnp.sum(
                     avg_prob * jnp.log(jnp.clip(avg_prob, 1e-5, None)), axis=-1
                 )
                 diversity_loss = -jnp.mean(ent)
+            if update_ema and self.ema_update and not freeze_codebook:
+                flat_ema = flat
+                if self.affine_param:
+                    # inverse transform batch->codebook frame before the EMA
+                    # sums (vector_quantize_pytorch.py:511)
+                    flat_ema = (flat - self.batch_mean.value) * (
+                        cb_std / b_std
+                    ) + self.codebook_mean.value
+                self._ema_update(flat_ema, ind, mask_flat)
 
-            if update_ema and not freeze_codebook:
-                self._ema_update(flat, ind)
+            if self.orthogonal_reg_weight > 0.0:
+                # computed after the EMA transition: the reference's EMA runs
+                # inside the codebook forward, so its orthogonal loss
+                # (:1095-1112) sees the post-update table
+                orth_loss = self._orthogonal_reg(ind)
 
             # straight-through estimator (vector_quantize_pytorch.py:1010)
-            quantize = flat + jax.lax.stop_gradient(quantize - flat)
+            quantize_out_c = flat + jax.lax.stop_gradient(quantize - flat)
+            if self.sync_update_v > 0.0:
+                # eq (21) of the vqtorch draft (reference :1013-1015)
+                quantize_out_c = quantize_out_c + self.sync_update_v * (
+                    quantize - jax.lax.stop_gradient(quantize)
+                )
+        else:
+            quantize_out_c = quantize
+
+        quantized_raw = self._from_canonical(
+            quantize.reshape(C, M, T, w), B, T
+        )
+        x_pre_quant = self._from_canonical(flat.reshape(C, M, T, w), B, T)
+        quantized = self._from_canonical(
+            quantize_out_c.reshape(C, M, T, w), B, T
+        )
+        if self._requires_projection:
+            quantized = self.project_out(quantized)
+        indices = self._indices_from_canonical(ind.reshape(C, M, T), B, T)
+
+        if mask is not None:
+            # masked padding -> zeros (or the original input) and index -1
+            # (reference :1139-1157)
+            masked_value = (
+                jnp.zeros_like(orig_input)
+                if self.return_zeros_for_masked_padding
+                else orig_input
+            )
+            quantized = jnp.where(mask[..., None], quantized, masked_value)
+            ind_mask = mask if H == 1 else mask[..., None]
+            indices = jnp.where(ind_mask, indices, -1)
 
         loss = (
             self.commitment_weight * commit_loss
             + self.codebook_diversity_loss_weight * diversity_loss
+            + self.orthogonal_reg_weight * orth_loss
         )
         return VQLayerOut(
-            quantized=quantize.reshape(B, T, D).astype(x.dtype)
-            if not training
-            else quantize.reshape(B, T, D),
-            indices=ind.reshape(B, T),
+            quantized=quantized.astype(x.dtype) if not training else quantized,
+            indices=indices,
             commit_loss=commit_loss,
             diversity_loss=diversity_loss,
+            orthogonal_loss=orth_loss,
+            ce_loss=ce_loss,
             loss=loss,
+            quantized_raw=quantized_raw,
+            x_pre_quant=x_pre_quant,
         )
 
-    def _ema_update(self, flat: jnp.ndarray, ind: jnp.ndarray):
+    # ------------------------------------------------------------------ #
+    # losses / state transitions                                         #
+    # ------------------------------------------------------------------ #
+
+    def _target_to_canonical(
+        self, target: jnp.ndarray, B: int, T: int, M: int
+    ) -> jnp.ndarray:
+        """(B, T) or (B, T, H) target codes -> canonical (C, M*T)."""
+        H = self.heads
+        if H == 1:
+            t = target.reshape(1, B, T)
+        elif self.separate_codebook_per_head:
+            t = jnp.transpose(target, (2, 0, 1))  # (H, B, T)
+        else:
+            t = jnp.transpose(target, (0, 2, 1)).reshape(1, B * H, T)
+        return t.reshape(self._num_codebooks, M * T)
+
+    @staticmethod
+    def _ce(
+        dist: jnp.ndarray, target: jnp.ndarray, mask_flat: jnp.ndarray | None
+    ) -> jnp.ndarray:
+        """Cross-entropy of softmax(-distance) against target codes, mean
+        over valid tokens, ignore_index=-1 (reference calculate_ce_loss,
+        vector_quantize_pytorch.py:1018-1036)."""
+        logits = -dist  # (C, N, K)
+        logp = jax.nn.log_softmax(logits, axis=-1)
+        valid = target >= 0
+        if mask_flat is not None:
+            valid = jnp.logical_and(valid, mask_flat)
+        tgt = jnp.maximum(target, 0)
+        nll = -jnp.take_along_axis(logp, tgt[..., None], axis=-1)[..., 0]
+        m = valid.astype(jnp.float32)
+        return jnp.sum(nll * m) / jnp.maximum(jnp.sum(m), 1.0)
+
+    def _orthogonal_reg(self, ind: jnp.ndarray) -> jnp.ndarray:
+        """Orthogonal regularizer over the raw (untransformed) codebook
+        (reference :1095-1112).  active_codes_only masks to codes hit in this
+        batch; max_codes takes a random subset (gumbel top-k over the mask —
+        identical in distribution to the reference randperm subsetting when
+        enough codes qualify)."""
+        K = self.codebook_size
+        embed_c = self._canonical_embed()  # gradients flow: raw embed
+        select = None
+        if self.orthogonal_reg_active_codes_only:
+            assert not (
+                self.heads > 1 and self.separate_codebook_per_head
+            ), "not compatible with multi-headed separate codebooks (reference :1100)"
+            active = jnp.zeros((K,), jnp.float32).at[ind.reshape(-1)].set(1.0)
+            select = active
+        if (
+            self.orthogonal_reg_max_codes is not None
+            and K > self.orthogonal_reg_max_codes
+        ):
+            scores = jax.random.gumbel(
+                self.make_rng("orthogonal_reg"), (K,), jnp.float32
+            )
+            if select is not None:
+                scores = jnp.where(select > 0, scores, -jnp.inf)
+            _, top_ids = jax.lax.top_k(scores, self.orthogonal_reg_max_codes)
+            chosen = jnp.zeros((K,), jnp.float32).at[top_ids].set(1.0)
+            select = chosen if select is None else chosen * select
+        return orthogonal_loss(embed_c, select)
+
+    def _ema_update(
+        self,
+        flat: jnp.ndarray,
+        ind: jnp.ndarray,
+        mask_flat: jnp.ndarray | None = None,
+    ):
         """EMA codebook transition (vector_quantize_pytorch.py:508-531).
 
         All sums are global over the token axis; under a sharded batch XLA
         all-reduces them across the ``data`` mesh axis automatically.
+        flat/ind are canonical (C, N, w) / (C, N).
         """
-        K = self.codebook_size
+        C, K, w = self._num_codebooks, self.codebook_size, self._codebook_width
         flat = jax.lax.stop_gradient(flat)
-        onehot = jax.nn.one_hot(ind, K, dtype=jnp.float32)  # (N, K)
-        counts = jnp.sum(onehot, axis=0)  # (K,)
-        embed_sum = jnp.matmul(
-            onehot.T, flat, precision=jax.lax.Precision.HIGHEST
-        )  # (K, D)
+        onehot = jax.nn.one_hot(ind, K, dtype=jnp.float32)  # (C, N, K)
+        if mask_flat is not None:
+            onehot = onehot * mask_flat.astype(jnp.float32)[..., None]
+        counts = jnp.sum(onehot, axis=1)  # (C, K)
+        embed_sum = jnp.einsum(
+            "cnk,cnd->ckd", onehot, flat, precision=jax.lax.Precision.HIGHEST
+        )  # (C, K, w)
+        if C == 1:
+            counts = counts[0]
+            embed_sum = embed_sum[0]
 
         d = self.decay
         new_cluster = self.cluster_size.value * d + counts * (1.0 - d)
         new_avg = self.embed_avg.value * d + embed_sum * (1.0 - d)
 
-        total = jnp.sum(new_cluster)
+        total = jnp.sum(new_cluster, axis=-1, keepdims=True)
         smoothed = (new_cluster + self.eps) / (total + K * self.eps) * total
-        new_embed = new_avg / smoothed[:, None]
+        new_embed = new_avg / smoothed[..., None]
         if self.use_cosine_sim:
             new_embed = _l2norm(new_embed)
 
@@ -267,21 +773,90 @@ class VectorQuantize(nn.Module):
             # expired codes with vectors sampled from the current batch.
             expired = new_cluster < self.threshold_ema_dead_code
             rng = self.make_rng("codebook_expiry")
-            n = flat.shape[0]
-            sample_idx = jax.random.randint(rng, (K,), 0, n)
-            sampled = jnp.take(flat, sample_idx, axis=0)
+            n = flat.shape[1]
+            sample_idx = jax.random.randint(rng, (C, K), 0, n)
+            sampled = jnp.take_along_axis(
+                flat, sample_idx[..., None], axis=1
+            )  # (C, K, w)
+            if C == 1:
+                sampled = sampled[0]
             reset = float(self.threshold_ema_dead_code)
-            new_embed = jnp.where(expired[:, None], sampled, new_embed)
+            new_embed = jnp.where(expired[..., None], sampled, new_embed)
             new_cluster = jnp.where(expired, reset, new_cluster)
-            new_avg = jnp.where(expired[:, None], sampled * reset, new_avg)
+            new_avg = jnp.where(expired[..., None], sampled * reset, new_avg)
 
         self.cluster_size.value = new_cluster
         self.embed_avg.value = new_avg
         self.embed.value = new_embed
 
     def decode_indices(self, indices: jnp.ndarray) -> jnp.ndarray:
-        """codes (...,) -> vectors (..., dim); pure codebook gather."""
-        return jnp.take(self.embed.value, indices, axis=0)
+        """codes (...,) [heads==1] or (..., H) -> vectors (..., dim); pure
+        codebook gather (+ project_out when multi-headed/projected)."""
+        if self.heads == 1:
+            out = jnp.take(self.embed.value, indices, axis=0)
+        elif self.separate_codebook_per_head:
+            per_head = [
+                jnp.take(self.embed.value[h], indices[..., h], axis=0)
+                for h in range(self.heads)
+            ]
+            out = jnp.concatenate(per_head, axis=-1)
+        else:
+            gathered = jnp.take(
+                self.embed.value, indices, axis=0
+            )  # (..., H, w)
+            out = gathered.reshape(*indices.shape[:-1], -1)
+        if self._requires_projection:
+            out = self.project_out(out)
+        return out
+
+
+def in_place_codebook_step(
+    module: VectorQuantize,
+    variables: dict,
+    x: jnp.ndarray,
+    optimizer,
+    opt_state,
+    *,
+    mask: jnp.ndarray | None = None,
+    rngs: dict | None = None,
+):
+    """Functional analog of the reference's ``in_place_codebook_optimizer``
+    (vector_quantize_pytorch.py:979-1001): one gradient step minimizing
+    ``MSE(quantize, sg(x))`` with respect to the codebook, applied *before*
+    the main forward so the step quantizes against the freshly-updated table.
+
+    ``optimizer`` is any optax GradientTransformation over the ``codebook``
+    collection.  Returns (new_variables, new_opt_state, loss).  Use with
+    ``learnable_codebook=True, ema_update=False`` modules.
+    """
+    import optax
+
+    def loss_fn(codebook_col):
+        v = dict(variables, codebook=codebook_col)
+        out, _ = module.apply(
+            v,
+            x,
+            training=True,
+            update_ema=False,
+            mask=mask,
+            mutable=["codebook"],
+            rngs=rngs or {},
+        )
+        q = out.quantized_raw
+        tgt = jax.lax.stop_gradient(out.x_pre_quant)
+        if mask is None:
+            return jnp.mean(jnp.square(q - tgt))
+        m = mask.astype(jnp.float32)[..., None]
+        return jnp.sum(jnp.square(q - tgt) * m) / jnp.maximum(
+            jnp.sum(m) * q.shape[-1], 1.0
+        )
+
+    loss, grads = jax.value_and_grad(loss_fn)(variables["codebook"])
+    updates, opt_state = optimizer.update(
+        grads, opt_state, variables["codebook"]
+    )
+    new_codebook = optax.apply_updates(variables["codebook"], updates)
+    return dict(variables, codebook=new_codebook), opt_state, loss
 
 
 @flax.struct.dataclass
@@ -311,6 +886,7 @@ class ResidualVQ(nn.Module):
     quantize_dropout: bool = False
     quantize_dropout_cutoff_index: int = 0
     dtype: jnp.dtype | None = None  # projections' compute dtype (VQ core fp32)
+    vq_kwargs: Any = None  # extra VectorQuantize knobs (heads, affine, ...)
 
     @property
     def _codebook_dim(self) -> int:
@@ -325,6 +901,7 @@ class ResidualVQ(nn.Module):
         if self._has_projections:
             self.project_in = nn.Dense(cdim, dtype=self.dtype, name="project_in")
             self.project_out = nn.Dense(self.dim, dtype=self.dtype, name="project_out")
+        extra = dict(self.vq_kwargs) if self.vq_kwargs else {}
         self.layers = [
             VectorQuantize(
                 dim=cdim,
@@ -335,6 +912,7 @@ class ResidualVQ(nn.Module):
                 codebook_diversity_temperature=self.codebook_diversity_temperature,
                 threshold_ema_dead_code=self.threshold_ema_dead_code,
                 name=f"layers_{r}",
+                **extra,
             )
             for r in range(self.num_quantizers)
         ]
@@ -347,6 +925,7 @@ class ResidualVQ(nn.Module):
         update_ema: bool = True,
         freeze_codebook: bool = False,
         dropout_index: jnp.ndarray | None = None,
+        mask: jnp.ndarray | None = None,
     ) -> ResidualVQOut:
         x_pjt = self.project_in(x) if self._has_projections else x
         residual = x_pjt.astype(jnp.float32)
@@ -359,6 +938,7 @@ class ResidualVQ(nn.Module):
                 training=training,
                 update_ema=update_ema,
                 freeze_codebook=freeze_codebook,
+                mask=mask,
             )
             if dropout_index is not None:
                 keep = (r <= dropout_index).astype(jnp.float32)
@@ -436,6 +1016,7 @@ class GroupedResidualVQ(nn.Module):
     quantize_dropout: bool = False
     quantize_dropout_cutoff_index: int = 0
     dtype: jnp.dtype | None = None
+    vq_kwargs: Any = None
 
     def setup(self):
         assert self.dim % self.groups == 0
@@ -451,6 +1032,7 @@ class GroupedResidualVQ(nn.Module):
                 codebook_diversity_temperature=self.codebook_diversity_temperature,
                 threshold_ema_dead_code=self.threshold_ema_dead_code,
                 dtype=self.dtype,
+                vq_kwargs=self.vq_kwargs,
                 name=f"rvqs_{g}",
             )
             for g in range(self.groups)
@@ -463,6 +1045,7 @@ class GroupedResidualVQ(nn.Module):
         training: bool = False,
         update_ema: bool = True,
         freeze_codebook: bool = False,
+        mask: jnp.ndarray | None = None,
     ) -> GroupedResidualVQOut:
         chunks = jnp.split(x, self.groups, axis=-1)
         # synchronized quantize-dropout: ONE draw shared by every group, the
@@ -486,6 +1069,7 @@ class GroupedResidualVQ(nn.Module):
                 update_ema=update_ema,
                 freeze_codebook=freeze_codebook,
                 dropout_index=dropout_index,
+                mask=mask,
             )
             for rvq, c in zip(self.rvqs, chunks)
         ]

@@ -1,13 +1,13 @@
-"""Streaming token -> waveform decoding (TTS serving path).
+"""Streaming audio <-> token conversion (live serving paths).
 
-The reference decodes whole token sequences at once (decode_from_codes,
-distil_codec.py:581-594).  For streaming TTS, tokens arrive incrementally; the
-decoder stack is non-causal (symmetric conv padding), so each emitted sample
-depends on up to ``halo`` future frames.  This decoder keeps a sliding window
-of ``context + chunk + lookahead`` frames, decodes it as ONE fixed-shape
-jitted program (no recompiles while streaming), and emits only the center
-chunk — mathematically identical to full-sequence decoding, chunk by chunk,
-with ``lookahead * hop / sr`` seconds of algorithmic latency
+The reference processes whole sequences at once (encode distil_codec.py
+:545-573, decode_from_codes :581-594).  For streaming, samples/tokens arrive
+incrementally; both model stacks are non-causal (symmetric conv padding), so
+each output depends on a bounded window of future input.  Both streamers keep
+a sliding window of ``context + chunk + lookahead`` frames, run it as ONE
+fixed-shape jitted program (no recompiles while streaming), and emit only the
+center chunk — mathematically identical to full-sequence processing, chunk by
+chunk, with ``lookahead * hop / sr`` seconds of algorithmic latency
 (32 frames -> ~341 ms at the reference config).
 """
 
@@ -17,7 +17,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .parallel.halo import _decoder_halo_for
+from .parallel.halo import _decoder_halo_for, _encoder_halo_for
 
 
 class StreamingDecoder:
@@ -91,6 +91,170 @@ class StreamingDecoder:
         off = (self._emitted - start) * self.hop
         self._emitted = total
         return wave[off:]
+
+    @property
+    def latency_seconds(self) -> float:
+        """Algorithmic lookahead latency."""
+        return self.halo * self.hop / self.codec.spec_config.sampling_rate
+
+
+class StreamingEncoder:
+    """Incremental single-stream tokenizer (live-audio path).
+
+    Feed raw 24 kHz samples as they arrive; emits code frames exactly equal
+    to full-sequence ``encode_codes`` on the final stream (the non-causal
+    encoder sees ``halo`` frames of real right-context before a frame is
+    emitted; the stream start/end reflect padding matches the mel front-end,
+    mel_spec.py:30-37).
+
+    NOTE the reference facade's 1-sample left-pad quirk (distil_codec.py
+    :133-136): to reproduce ``codec.encode`` token ids bit-for-bit, push a
+    single zero sample before the stream.
+
+    >>> enc = StreamingEncoder(codec, chunk_frames=32)
+    >>> for block in microphone:
+    ...     codes = enc.push(block)      # (n, G*R) int32, may be empty
+    >>> codes_tail = enc.flush()
+    """
+
+    def __init__(
+        self,
+        codec,
+        chunk_frames: int = 32,
+        halo_frames: int | None = None,
+        enable_bfloat16: bool = False,
+    ):
+        self.codec = codec
+        spec = codec.spec_config
+        assert codec.ds_factor == 1, (
+            "StreamingEncoder supports downsample_factor product 1 "
+            "(student config); teacher ds=2 chunking is not wired yet"
+        )
+        self.hop, self.win = spec.hop_size, spec.win_size
+        self.left = (self.win - self.hop) // 2
+        self.right = (self.win - self.hop + 1) // 2
+        self.chunk = chunk_frames
+        self.halo = (
+            halo_frames
+            if halo_frames is not None
+            else max(_encoder_halo_for(codec.codec_config), 8)
+        )
+        self.window = self.chunk + 2 * self.halo  # frames per jitted call
+        self._win_samples = self.window * self.hop + (self.win - self.hop)
+
+        from .dsp.mel import compress, melscale_fbanks
+        from .dsp.stft import _dft_basis, frame_signal
+
+        n_fft, n_mels = spec.n_fft, spec.num_mels
+        n_freqs = n_fft // 2 + 1
+        basis = jnp.asarray(_dft_basis(n_fft, self.win))
+        fb = jnp.asarray(
+            melscale_fbanks(
+                n_freqs, spec.fmin, spec.fmax, n_mels, spec.sampling_rate
+            )
+        )
+        module = codec.module_bf16 if enable_bfloat16 else codec.module
+        win, hop = self.win, self.hop
+
+        def encode_window(variables, samples):
+            frames = frame_signal(samples, win, hop)  # (window, win)
+            sp = jnp.einsum(
+                "tw,wf->tf",
+                frames.astype(jnp.float32),
+                basis,
+                precision=jax.lax.Precision.HIGHEST,
+            )
+            re, im = sp[:, :n_freqs], sp[:, n_freqs:]
+            mag = jnp.sqrt(re * re + im * im + 1e-6)
+            mel = compress(
+                jnp.einsum(
+                    "tf,fm->tm", mag, fb, precision=jax.lax.Precision.HIGHEST
+                )
+            )
+            return module.apply(
+                variables, mel[None], method="_encode_from_mel"
+            )  # (1, G*R, window)
+
+        self._encode = jax.jit(encode_window)
+        self._samples = np.zeros((0,), np.float32)
+        self._emitted = 0  # frames emitted so far
+
+    def _ready_frames(self) -> int:
+        """Frames computable with only real right-context (no end reflect)."""
+        avail = self.left + len(self._samples)
+        return max(0, (avail - self.win) // self.hop + 1)
+
+    def _lead(self) -> np.ndarray:
+        s = self._samples
+        if len(s) > self.left:
+            return s[1 : self.left + 1][::-1]
+        return np.zeros((self.left,), np.float32)
+
+    def _assemble(self, start_frame: int, padded: np.ndarray | None = None):
+        """Fixed-size sample window for frames [start, start+window)."""
+        if padded is None:
+            padded = np.concatenate([self._lead(), self._samples])
+        begin = start_frame * self.hop
+        out = padded[begin : begin + self._win_samples]
+        if len(out) < self._win_samples:
+            out = np.pad(out, (0, self._win_samples - len(out)))
+        return jnp.asarray(out)
+
+    def _emit(self, start: int, first: int, count: int) -> np.ndarray:
+        codes = self._encode(
+            self.codec.variables, self._assemble(start)
+        )  # (1, GR, window)
+        arr = np.asarray(codes)[0]  # (GR, window)
+        return arr[:, first : first + count].T  # (count, GR)
+
+    def push(self, samples) -> np.ndarray:
+        """Feed new samples; returns code frames that became final, shape
+        (n, G*R) int32 (n may be 0)."""
+        self._samples = np.concatenate(
+            [self._samples, np.asarray(samples, np.float32).reshape(-1)]
+        )
+        out = []
+        while True:
+            e = self._emitted
+            s = max(0, e - self.halo)
+            if self._ready_frames() < s + self.window:
+                break
+            out.append(self._emit(s, e - s, self.chunk))
+            self._emitted += self.chunk
+        if out:
+            return np.concatenate(out, axis=0)
+        gr = self.codec.codec_config.quantizer.n_groups * (
+            self.codec.codec_config.quantizer.n_codebooks
+        )
+        return np.zeros((0, gr), np.int32)
+
+    def flush(self) -> np.ndarray:
+        """Emit the remaining frames using the true end-of-stream reflect
+        padding.  Total emitted over the stream = len(samples) // hop
+        (the reference's n_hop_len bookkeeping, distil_codec.py:119)."""
+        s = self._samples
+        total = len(s) // self.hop
+        if self._emitted >= total:
+            self._emitted = total
+            gr = self.codec.codec_config.quantizer.n_groups * (
+                self.codec.codec_config.quantizer.n_codebooks
+            )
+            return np.zeros((0, gr), np.int32)
+        tail = (
+            s[-self.right - 1 : -1][::-1]
+            if len(s) > self.right
+            else np.zeros((self.right,), np.float32)
+        )
+        padded = np.concatenate([self._lead(), s, tail])
+        start = max(0, total - self.window)
+        codes = self._encode(
+            self.codec.variables, self._assemble(start, padded=padded)
+        )
+        arr = np.asarray(codes)[0]
+        first = self._emitted - start
+        out = arr[:, first:total - start].T
+        self._emitted = total
+        return out
 
     @property
     def latency_seconds(self) -> float:

@@ -116,7 +116,9 @@ def run_training(
         print_rank_0(f"Resumed from step {int(state.step)}")
 
     mesh = make_data_mesh() if use_mesh else None
-    step_fn = trainer.jit_train_step(mesh)
+    # steady-state loop never touches the previous state again -> donate it
+    # (XLA aliases params/opt-moments/EMA-codebook updates in place)
+    step_fn = trainer.jit_train_step(mesh, donate=True)
     eval_fn = jax.jit(trainer.eval_step)
 
     logger = MetricsLogger(
@@ -202,6 +204,9 @@ def run_training(
 
 
 def main(argv=None):
+    from ..utils.common import enable_compilation_cache
+
+    enable_compilation_cache()
     argv = argv or sys.argv[1:]
     model_config_path = argv[0] if argv else "configs/model_config.json"
     train_config_path = argv[1] if len(argv) > 1 else "configs/train_config.json"

@@ -338,11 +338,18 @@ class Trainer:
 
     # ------------------------------------------------------- jit + sharding
 
-    def jit_train_step(self, mesh=None) -> Callable:
+    def jit_train_step(self, mesh=None, donate: bool = False) -> Callable:
         """jit the train step; with a mesh, shard the batch along 'data' and
-        replicate the state (GSPMD inserts all collectives)."""
+        replicate the state (GSPMD inserts all collectives).
+
+        ``donate=True`` donates the train state so XLA updates params /
+        optimizer moments / EMA codebook in place (halves peak state HBM).
+        Only for steady-state loops: the caller must not reuse the old state
+        object after the call (the buffers are invalidated).
+        """
+        donate_kw = {"donate_argnums": (0,)} if donate else {}
         if mesh is None:
-            return jax.jit(self.train_step)
+            return jax.jit(self.train_step, **donate_kw)
         from jax.sharding import NamedSharding, PartitionSpec as P
 
         replicated = NamedSharding(mesh, P())
@@ -351,4 +358,5 @@ class Trainer:
             self.train_step,
             in_shardings=(replicated, batch_sharded, replicated),
             out_shardings=(replicated, replicated),
+            **donate_kw,
         )

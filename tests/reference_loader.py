@@ -127,8 +127,17 @@ def _install_stubs():
                 out.append(tensor[qi][indices[..., qi]])  # (b, n, d)
             return torch.stack(out, dim=0)
 
-        def where(*a, **k):
-            raise RuntimeError("einx.where stub: masked path not under test")
+        def where(pattern, mask, a, b):
+            # the reference's masked-padding path uses
+            # 'b n, b n d, b n d -> b n d' and 'b n, b n ..., -> b n ...'
+            # (vector_quantize_pytorch.py:1143-1157): broadcast the (b, n)
+            # mask over trailing dims, scalar fallback value allowed.
+            ref = a if torch.is_tensor(a) else b
+            while mask.dim() < ref.dim():
+                mask = mask.unsqueeze(-1)
+            a_t = a if torch.is_tensor(a) else torch.full_like(ref, a)
+            b_t = b if torch.is_tensor(b) else torch.full_like(ref, b)
+            return torch.where(mask, a_t, b_t)
 
         einx.get_at = get_at
         einx.where = where

@@ -150,3 +150,45 @@ def test_special_token_quirks(codec):
     assert spec[str(1000 + 64 + 5)]["absolute_token_id"] == 1000 + 64 + 7
     assert spec[str(1000 + 64 + 7)]["absolute_token_id"] == 1000 + 64 + 9
     assert spec[str(1000 + 64)]["content"] == "<|beginofaudio|>"
+
+
+def test_fold_weight_norm_identity(rng):
+    """fold_weight_norm: same tokens + waveform, idempotent plain weights."""
+    import jax.numpy as jnp
+
+    from distilcodec_nabeel_tpu.models.blocks import fold_weight_norm
+
+    codec = DistilCodec(MINI_CONFIG)
+    audio = (rng.standard_normal(4096) * 0.1).astype(np.float32)
+    _, codes_before, *_ = codec.encode([(audio, 24000)], raw_audio=True)
+    ids_before = [t["absolute_token_id"] for t in codes_before[0]]
+    wave_before = codec.decode_from_codes(
+        ids_before, minus_token_offset=True
+    )
+
+    codec.fold_weight_norm()
+    _, codes_after, *_ = codec.encode([(audio, 24000)], raw_audio=True)
+    ids_after = [t["absolute_token_id"] for t in codes_after[0]]
+    assert ids_after == ids_before
+    wave_after = codec.decode_from_codes(ids_after, minus_token_offset=True)
+    np.testing.assert_allclose(
+        np.asarray(wave_after), np.asarray(wave_before), rtol=1e-5, atol=1e-6
+    )
+
+    # idempotent: folding twice is exactly stable, g == ||v||
+    folded_once = codec.variables["params"]
+    folded_twice = fold_weight_norm(folded_once)
+    g1 = folded_once["generator"]["ups_0"]["g"]
+    v1 = folded_once["generator"]["ups_0"]["v"]
+    np.testing.assert_allclose(
+        np.asarray(g1),
+        np.linalg.norm(np.asarray(v1), axis=(0, 2)),
+        rtol=1e-6,
+        atol=1e-7,
+    )
+    np.testing.assert_allclose(
+        np.asarray(folded_twice["generator"]["conv_pre"]["v"]),
+        np.asarray(folded_once["generator"]["conv_pre"]["v"]),
+        rtol=1e-6,
+        atol=1e-7,
+    )

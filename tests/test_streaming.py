@@ -1,10 +1,12 @@
-"""Streaming decoder == full-sequence decode, chunk by chunk."""
+"""Streaming encoder/decoder == full-sequence processing, chunk by chunk."""
 
 import numpy as np
 import pytest
 
+import jax.numpy as jnp
+
 from distilcodec_nabeel_tpu import DistilCodec
-from distilcodec_nabeel_tpu.streaming import StreamingDecoder
+from distilcodec_nabeel_tpu.streaming import StreamingDecoder, StreamingEncoder
 from test_codec_facade import MINI_CONFIG
 
 
@@ -36,3 +38,47 @@ def test_streaming_matches_full_decode(codec, rng, feed_size):
 def test_streaming_latency_property(codec):
     dec = StreamingDecoder(codec, chunk_frames=16, halo_frames=16)
     assert dec.latency_seconds == pytest.approx(16 * 64 / 24000)
+
+
+@pytest.mark.parametrize("feed_size", [160, 1024, 100000])
+def test_streaming_encoder_matches_full_encode(codec, rng, feed_size):
+    hop = MINI_CONFIG["spec_transform"]["hop_size"]
+    L = hop * 300 + 17  # non-multiple of hop exercises tail bookkeeping
+    audio = (rng.standard_normal(L) * 0.1).astype(np.float32)
+    total = L // hop
+
+    full = codec.module.apply(
+        codec.variables, jnp.asarray(audio[None]), method="encode_codes"
+    )  # (1, G*R, T_mel)
+    full = np.asarray(full)[0].T[:total]  # (total, G*R)
+
+    enc = StreamingEncoder(codec, chunk_frames=16)
+    got = []
+    for i in range(0, L, feed_size):
+        got.append(enc.push(audio[i : i + feed_size]))
+    got.append(enc.flush())
+    streamed = np.concatenate(got, axis=0)
+
+    assert streamed.shape == full.shape
+    np.testing.assert_array_equal(streamed, full)
+
+
+def test_streaming_encoder_roundtrip_with_decoder(codec, rng):
+    """Mic -> StreamingEncoder -> StreamingDecoder pipeline is coherent."""
+    hop = MINI_CONFIG["spec_transform"]["hop_size"]
+    L = hop * 128
+    audio = (rng.standard_normal(L) * 0.1).astype(np.float32)
+    enc = StreamingEncoder(codec, chunk_frames=16, halo_frames=16)
+    dec = StreamingDecoder(codec, chunk_frames=16, halo_frames=16)
+    wave = []
+    for i in range(0, L, 4096):
+        codes = enc.push(audio[i : i + 4096])
+        if codes.size:
+            wave.append(dec.push(codes[:, 0].tolist()))
+    codes = enc.flush()
+    if codes.size:
+        wave.append(dec.push(codes[:, 0].tolist()))
+    wave.append(dec.flush())
+    out = np.concatenate(wave)
+    assert out.shape == (L,)
+    assert np.isfinite(out).all()
