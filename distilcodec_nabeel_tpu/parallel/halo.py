@@ -42,17 +42,24 @@ class HaloConfig:
 
 
 def _encoder_halo_for(cfg) -> int:
-    """Receptive-field-derived encoder halo (frames) for arbitrary configs."""
+    """Receptive-field-derived encoder halo (MEL frames) for arbitrary
+    configs.  The quantizer's downsample ConvNeXtBlock (k=7) runs at the code
+    rate, so its 3-frame RF spans ``3 * p`` mel frames at downsample product
+    ``p`` (the strided k=p s=p conv itself adds no extra reach)."""
     k = cfg.encoder.kernel_size
     per_block = k // 2
     n_blocks = sum(cfg.encoder.depths)
     stem = k // 2
-    quant_ds_block = 3  # ConvNeXtBlock k=7 in the quantizer downsample
+    p = cfg.quantizer.total_downsample
+    quant_ds_block = 3 * p  # ConvNeXtBlock k=7 at the code rate
     return stem + n_blocks * per_block + quant_ds_block
 
 
 def _decoder_halo_for(cfg) -> int:
-    """Receptive-field-derived decoder halo (frames)."""
+    """Receptive-field-derived decoder halo (MEL frames).  The quantizer's
+    upsample block runs at the mel rate (after the exact ×p ConvTranspose),
+    so no ds scaling is needed here; callers sharding at the CODE rate divide
+    by ``p`` (ceil)."""
     halo = cfg.decoder.pre_conv_kernel_size // 2 + 3  # conv_pre + quant upsample block
     rates = cfg.decoder.upsample_rates
     prod = 1
@@ -77,7 +84,9 @@ def plan_time_sharding(
     """Returns (frames_per_shard, padded_frames).  Frames are padded up so the
     count divides n_shards and each chunk dominates its halo."""
     fh = -(-total_frames // n_shards)
-    fh = max(fh, 2 * halo)  # clamped-window scheme needs chunk >= 2*halo
+    # clamped-window scheme needs chunk >= 2*halo; +4 keeps the encoder's
+    # right-halo send (2*halo frames + the STFT window tail) within one chunk
+    fh = max(fh, 2 * halo + 4)
     return fh, fh * n_shards
 
 
@@ -85,24 +94,30 @@ class TimeShardedCodec:
     """Sequence-parallel encode/decode wrapper over a DistilCodecModule.
 
     Single-stream long-form audio, sharded along a ``time`` mesh axis.
-    Requires ``downsample_factor`` product 1 (the student config).
+    Supports any ``downsample_factor`` product p (student p=1, teacher p=2):
+    sharding happens at the CODE-frame rate (``HaloConfig`` halos are code
+    frames), each code frame covering ``p`` mel frames = ``p * hop`` samples,
+    so shard/window boundaries stay p-aligned and the strided downsample conv
+    (grfvq.py:68-96) keeps its global phase on every shard.
     """
 
     def __init__(self, module, variables, mesh: Mesh, halo: HaloConfig | None = None):
         cfg = module.cfg
-        assert cfg.quantizer.total_downsample == 1, (
-            "time sharding currently supports ds_factor=1 (student config)"
-        )
         self.module = module
         self.variables = variables
         self.mesh = mesh
         self.n = mesh.devices.size
         self.cfg = cfg
         self.spec = cfg.spec
+        self.p = cfg.quantizer.total_downsample
         if halo is None:
             halo = HaloConfig(
-                encoder_halo_frames=max(_encoder_halo_for(cfg), 8),
-                decoder_halo_frames=max(_decoder_halo_for(cfg), 8),
+                encoder_halo_frames=max(
+                    -(-_encoder_halo_for(cfg) // self.p), 8
+                ),
+                decoder_halo_frames=max(
+                    -(-_decoder_halo_for(cfg) // self.p), 8
+                ),
             )
         self.halo = halo
         self._encode_fn = None
@@ -111,24 +126,25 @@ class TimeShardedCodec:
     # ------------------------------------------------------------- encoding
 
     def encode_codes(self, audio: np.ndarray) -> np.ndarray:
-        """audio (L,) -> codes (T, R) with T = ceil-padded frame count.
+        """audio (L,) -> codes (T, R) with T = ceil-padded code frame count.
 
         The caller gets codes for the zero-padded length; trim to
-        ``L // hop`` frames for the reference's length bookkeeping.
+        ``L // (hop * p)`` frames for the reference's length bookkeeping.
         """
         hop, win = self.spec.hop_size, self.spec.win_size
+        hopc = hop * self.p  # samples per CODE frame
         h = self.halo.encoder_halo_frames
         L = audio.shape[-1]
-        t_frames = L // hop
+        t_frames = L // hopc  # code frames
         fh, t_pad = plan_time_sharding(t_frames, self.n, h)
-        audio = np.pad(np.asarray(audio, np.float32), (0, t_pad * hop - L))
+        audio = np.pad(np.asarray(audio, np.float32), (0, t_pad * hopc - L))
         # global reflect pad (mel_spec.py:30-37), then split body + tail
         left, right = (win - hop) // 2, (win - hop + 1) // 2
         padded = np.concatenate(
             [audio[1 : left + 1][::-1], audio, audio[-right - 1 : -1][::-1]]
         )
-        body = padded[: t_pad * hop].reshape(self.n, fh * hop)
-        tail = padded[t_pad * hop :]  # (win - hop + 1,) replicated
+        body = padded[: t_pad * hopc].reshape(self.n, fh * hopc)
+        tail = padded[t_pad * hopc :]  # (win - hop + 1,) replicated
 
         if self._encode_fn is None or self._encode_fn[0] != (fh,):
             self._encode_fn = ((fh,), self._build_encode(fh))
@@ -140,9 +156,11 @@ class TimeShardedCodec:
 
     def _build_encode(self, fh: int):
         hop, win = self.spec.hop_size, self.spec.win_size
-        h = self.halo.encoder_halo_frames
+        p = self.p
+        hopc = hop * p  # samples per code frame
+        h = self.halo.encoder_halo_frames  # code frames
         n = self.n
-        fe = fh + 2 * h
+        fe = fh + 2 * h  # code frames per window
         module, variables = self.module, self.variables
 
         from ..dsp.mel import compress, melscale_fbanks
@@ -165,8 +183,8 @@ class TimeShardedCodec:
         def shard_fn(chunk, tail):
             chunk = chunk[0]
             idx = jax.lax.axis_index("time")
-            right_need = 2 * h * hop + (win - hop)
-            left_need = 2 * h * hop
+            right_need = 2 * h * hopc + (win - hop)
+            left_need = 2 * h * hopc
             send_right = chunk[-left_need:]
             left_recv = jax.lax.ppermute(
                 send_right, "time", [(i, (i + 1) % n) for i in range(n)]
@@ -183,9 +201,9 @@ class TimeShardedCodec:
             assembled = jnp.concatenate([left_recv, chunk, right_recv])
             g0 = idx * fh
             start = jnp.clip(g0 - h, 0, n * fh - fe)
-            offset = start * hop - g0 * hop + left_need
+            offset = start * hopc - g0 * hopc + left_need
             window = jax.lax.dynamic_slice(
-                assembled, (offset,), (fe * hop + (win - hop),)
+                assembled, (offset,), (fe * hopc + (win - hop),)
             )
             frames = frame_signal(window, win, hop)  # (fe, win)
             spec = jnp.einsum(
@@ -225,7 +243,7 @@ class TimeShardedCodec:
     # ------------------------------------------------------------- decoding
 
     def decode_codes(self, codes: np.ndarray) -> np.ndarray:
-        """codes (T,) or (T, G*R) -> waveform (T*hop,)."""
+        """codes (T,) or (T, G*R) -> waveform (T*hop*p,)."""
         codes = np.asarray(codes, np.int32)
         if codes.ndim == 1:
             codes = codes[:, None]
@@ -241,10 +259,12 @@ class TimeShardedCodec:
                 NamedSharding(self.mesh, P("time")),
             )
         )
-        return np.asarray(wave).reshape(-1)[: t_frames * self.spec.hop_size]
+        return np.asarray(wave).reshape(-1)[
+            : t_frames * self.spec.hop_size * self.p
+        ]
 
     def _build_decode(self, fh: int):
-        hop = self.spec.hop_size
+        hop = self.spec.hop_size * self.p  # samples per CODE frame
         h = self.halo.decoder_halo_frames
         n = self.n
         fe = fh + 2 * h

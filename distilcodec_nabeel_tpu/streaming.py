@@ -23,6 +23,11 @@ from .parallel.halo import _decoder_halo_for, _encoder_halo_for
 class StreamingDecoder:
     """Incremental single-stream decoder over a DistilCodec facade.
 
+    Code frames arrive either as a flat int list (the student's 1-group x
+    1-residual token stream) or as an (n, G*R) array (teacher mode) — the
+    same per-frame layout ``StreamingEncoder.push`` emits.  Works for any
+    ``downsample_factor`` product p: one code frame = ``p * hop`` samples.
+
     >>> dec = StreamingDecoder(codec, chunk_frames=32)
     >>> for tok_batch in token_source:
     ...     audio_chunk = dec.push(tok_batch)   # np.ndarray, may be empty
@@ -38,40 +43,49 @@ class StreamingDecoder:
     ):
         self.codec = codec
         self.hop = codec.hop_size * codec.ds_factor
+        self.gr = codec.ngroups * codec.nresiduals
         self.chunk = chunk_frames
         self.halo = (
             halo_frames
             if halo_frames is not None
-            else max(_decoder_halo_for(codec.codec_config), 8)
+            else max(
+                -(-_decoder_halo_for(codec.codec_config) // codec.ds_factor),
+                8,
+            )
         )
         self.window = self.chunk + 2 * self.halo
         module = codec.module_bf16 if enable_bfloat16 else codec.module
         self._decode = jax.jit(
             lambda v, c: module.apply(v, c, method="decode_codes")
         )
-        self._tokens: list[int] = []
+        self._frames = np.zeros((0, self.gr), np.int32)  # (T, G*R)
         self._emitted = 0  # frames emitted so far
 
     def _decode_window(self, start: int, length: int) -> np.ndarray:
-        window = np.asarray(
-            self._tokens[start : start + length], np.int32
-        ).reshape(1, 1, -1, 1)
-        wave = self._decode(self.codec.variables, jnp.asarray(window))
+        window = self._frames[start : start + length]  # (L, G*R)
+        g, r = self.codec.ngroups, self.codec.nresiduals
+        ind = window.reshape(-1, g, r)
+        ind = np.transpose(ind, (1, 0, 2))[:, None]  # (G, 1, L, R)
+        wave = self._decode(self.codec.variables, jnp.asarray(ind))
         return np.asarray(wave)[0]
 
     def push(self, tokens, minus_token_offset: bool = False) -> np.ndarray:
-        """Feed new tokens; returns whatever audio became decidable."""
+        """Feed new code frames (flat list or (n, G*R) array); returns
+        whatever audio became decodable."""
+        arr = np.asarray(tokens, np.int64).reshape(-1, self.gr)
         if minus_token_offset:
-            tokens = [t - self.codec.tokens_id_offset for t in tokens]
-        self._tokens.extend(int(t) for t in tokens)
+            arr = arr - self.codec.tokens_id_offset
+        self._frames = np.concatenate(
+            [self._frames, arr.astype(np.int32)], axis=0
+        )
         out = []
         # emit while a full fixed-shape window (chunk + lookahead) is covered
-        while len(self._tokens) >= self._emitted + self.chunk + self.halo and (
-            len(self._tokens)
-            >= max(0, self._emitted - self.halo) + self.window
+        n_frames = self._frames.shape[0]
+        while n_frames >= self._emitted + self.chunk + self.halo and (
+            n_frames >= max(0, self._emitted - self.halo) + self.window
         ):
             start = max(0, self._emitted - self.halo)
-            start = min(start, len(self._tokens) - self.window)
+            start = min(start, n_frames - self.window)
             wave = self._decode_window(start, self.window)
             off = (self._emitted - start) * self.hop
             out.append(wave[off : off + self.chunk * self.hop])
@@ -82,7 +96,7 @@ class StreamingDecoder:
 
     def flush(self) -> np.ndarray:
         """Emit everything pending using the true stream end boundary."""
-        total = len(self._tokens)
+        total = self._frames.shape[0]
         if self._emitted >= total:
             return np.zeros((0,), np.float32)
         start = max(0, total - self.window)
@@ -103,9 +117,14 @@ class StreamingEncoder:
 
     Feed raw 24 kHz samples as they arrive; emits code frames exactly equal
     to full-sequence ``encode_codes`` on the final stream (the non-causal
-    encoder sees ``halo`` frames of real right-context before a frame is
+    encoder sees ``halo`` code frames of real right-context before a frame is
     emitted; the stream start/end reflect padding matches the mel front-end,
     mel_spec.py:30-37).
+
+    Supports any ``downsample_factor`` product p (student p=1, teacher p=2):
+    ``chunk_frames``/``halo_frames`` are CODE frames; each code frame covers
+    ``p`` mel frames = ``p * hop`` samples, and window starts stay p-aligned
+    so the strided downsample conv (grfvq.py:68-96) keeps its global phase.
 
     NOTE the reference facade's 1-sample left-pad quirk (distil_codec.py
     :133-136): to reproduce ``codec.encode`` token ids bit-for-bit, push a
@@ -126,21 +145,21 @@ class StreamingEncoder:
     ):
         self.codec = codec
         spec = codec.spec_config
-        assert codec.ds_factor == 1, (
-            "StreamingEncoder supports downsample_factor product 1 "
-            "(student config); teacher ds=2 chunking is not wired yet"
-        )
+        self.p = codec.ds_factor  # mel frames per code frame
         self.hop, self.win = spec.hop_size, spec.win_size
         self.left = (self.win - self.hop) // 2
         self.right = (self.win - self.hop + 1) // 2
-        self.chunk = chunk_frames
+        self.chunk = chunk_frames  # code frames per emission
         self.halo = (
             halo_frames
             if halo_frames is not None
-            else max(_encoder_halo_for(codec.codec_config), 8)
+            else max(
+                -(-_encoder_halo_for(codec.codec_config) // self.p), 8
+            )
         )
-        self.window = self.chunk + 2 * self.halo  # frames per jitted call
-        self._win_samples = self.window * self.hop + (self.win - self.hop)
+        self.window = self.chunk + 2 * self.halo  # code frames per jitted call
+        self._win_mel = self.window * self.p
+        self._win_samples = self._win_mel * self.hop + (self.win - self.hop)
 
         from .dsp.mel import compress, melscale_fbanks
         from .dsp.stft import _dft_basis, frame_signal
@@ -157,7 +176,7 @@ class StreamingEncoder:
         win, hop = self.win, self.hop
 
         def encode_window(variables, samples):
-            frames = frame_signal(samples, win, hop)  # (window, win)
+            frames = frame_signal(samples, win, hop)  # (n_mel, win)
             sp = jnp.einsum(
                 "tw,wf->tf",
                 frames.astype(jnp.float32),
@@ -173,14 +192,15 @@ class StreamingEncoder:
             )
             return module.apply(
                 variables, mel[None], method="_encode_from_mel"
-            )  # (1, G*R, window)
+            )  # (1, G*R, n_mel // p)
 
         self._encode = jax.jit(encode_window)
         self._samples = np.zeros((0,), np.float32)
-        self._emitted = 0  # frames emitted so far
+        self._emitted = 0  # code frames emitted so far
 
     def _ready_frames(self) -> int:
-        """Frames computable with only real right-context (no end reflect)."""
+        """Mel frames computable with only real right-context (no end
+        reflect)."""
         avail = self.left + len(self._samples)
         return max(0, (avail - self.win) // self.hop + 1)
 
@@ -190,19 +210,14 @@ class StreamingEncoder:
             return s[1 : self.left + 1][::-1]
         return np.zeros((self.left,), np.float32)
 
-    def _assemble(self, start_frame: int, padded: np.ndarray | None = None):
-        """Fixed-size sample window for frames [start, start+window)."""
-        if padded is None:
-            padded = np.concatenate([self._lead(), self._samples])
-        begin = start_frame * self.hop
-        out = padded[begin : begin + self._win_samples]
-        if len(out) < self._win_samples:
-            out = np.pad(out, (0, self._win_samples - len(out)))
-        return jnp.asarray(out)
-
     def _emit(self, start: int, first: int, count: int) -> np.ndarray:
+        """Encode the fixed window at code frame ``start`` (p-aligned mel
+        start); return codes [first, first+count)."""
+        padded = np.concatenate([self._lead(), self._samples])
+        begin = start * self.p * self.hop
+        sample_win = padded[begin : begin + self._win_samples]
         codes = self._encode(
-            self.codec.variables, self._assemble(start)
+            self.codec.variables, jnp.asarray(sample_win)
         )  # (1, GR, window)
         arr = np.asarray(codes)[0]  # (GR, window)
         return arr[:, first : first + count].T  # (count, GR)
@@ -217,7 +232,7 @@ class StreamingEncoder:
         while True:
             e = self._emitted
             s = max(0, e - self.halo)
-            if self._ready_frames() < s + self.window:
+            if self._ready_frames() < (s + self.window) * self.p:
                 break
             out.append(self._emit(s, e - s, self.chunk))
             self._emitted += self.chunk
@@ -230,15 +245,23 @@ class StreamingEncoder:
 
     def flush(self) -> np.ndarray:
         """Emit the remaining frames using the true end-of-stream reflect
-        padding.  Total emitted over the stream = len(samples) // hop
-        (the reference's n_hop_len bookkeeping, distil_codec.py:119)."""
+        padding.  Total emitted over the stream = len(samples) // (hop · p)
+        (the reference's n_hop_len bookkeeping, distil_codec.py:119).
+
+        The flush window is VARIABLE length, ending exactly at the stream's
+        last real mel frame — the full-sequence encoder zero-pads its conv
+        stacks there, so ending the computation at the same boundary (rather
+        than padding the window with zero samples, which would produce
+        non-zero log-mel frames past the end) keeps flush == full encode even
+        for streams shorter than one window."""
         s = self._samples
-        total = len(s) // self.hop
+        t_mel = len(s) // self.hop
+        total = t_mel // self.p
+        gr = self.codec.codec_config.quantizer.n_groups * (
+            self.codec.codec_config.quantizer.n_codebooks
+        )
         if self._emitted >= total:
             self._emitted = total
-            gr = self.codec.codec_config.quantizer.n_groups * (
-                self.codec.codec_config.quantizer.n_codebooks
-            )
             return np.zeros((0, gr), np.int32)
         tail = (
             s[-self.right - 1 : -1][::-1]
@@ -247,16 +270,26 @@ class StreamingEncoder:
         )
         padded = np.concatenate([self._lead(), s, tail])
         start = max(0, total - self.window)
+        begin = start * self.p * self.hop
+        n_mel = t_mel - start * self.p
+        need = begin + n_mel * self.hop + (self.win - self.hop)
+        if len(padded) < need:
+            padded = np.pad(padded, (0, need - len(padded)))
         codes = self._encode(
-            self.codec.variables, self._assemble(start, padded=padded)
+            self.codec.variables, jnp.asarray(padded[begin:need])
         )
         arr = np.asarray(codes)[0]
         first = self._emitted - start
-        out = arr[:, first:total - start].T
+        out = arr[:, first : total - start].T
         self._emitted = total
         return out
 
     @property
     def latency_seconds(self) -> float:
         """Algorithmic lookahead latency."""
-        return self.halo * self.hop / self.codec.spec_config.sampling_rate
+        return (
+            self.halo
+            * self.p
+            * self.hop
+            / self.codec.spec_config.sampling_rate
+        )
