@@ -66,25 +66,42 @@ def _kaiming_uniform_init(key, shape, dtype=jnp.float32):
     return jax.random.uniform(key, shape, dtype, minval=-bound, maxval=bound)
 
 
-def vq_matmul_precision() -> jax.lax.Precision:
-    """MXU precision of the nearest-neighbor distance matmul.
+def vq_search_mode() -> str:
+    """Nearest-neighbor search mode, ``DISTILCODEC_VQ_PRECISION``.
 
-    ``DISTILCODEC_VQ_PRECISION``:
-    * ``high`` (default) — bf16x3 passes; measured bit-identical argmins to
-      HIGHEST at the flagship shape, 5.6x faster than bf16x6.
-    * ``default`` — single bf16 pass ("throughput mode"): ~2x faster encode
-      VQ stage; measured 0.33% argmin flips at the flagship shape, all on
-      near-ties (quality-neutral), so token ids are NOT guaranteed
-      reference-exact.
-    * ``highest`` — bf16x6, the conservative reference-numerics mode.
+    All timings measured on one TPU v5e chip at the flagship shape
+    (N=7496 frames x K=32768 codes x D=3584), agreement vs the fp32-exact
+    HIGHEST argmin on random data:
+    * ``high`` (default) — bf16x3 matmul passes; 29.3 ms, bit-identical
+      argmins (5.6x faster than bf16x6).
+    * ``int8`` — int8 MXU scoring (per-row symmetric scales) +
+      ``approx_min_k`` (k=16, recall 0.99) + exact fp32 rescore of the
+      candidates; 20.5 ms, 0/7496 flips measured.  1.43x over ``high``;
+      exactness is per-shape empirical, not guaranteed (the true argmin must
+      int8-rank within the top-16).
+    * ``int8_fast`` — same with k=8, recall 0.95; 11.9 ms, 1/7496 flips.
+      2.46x over ``high`` and strictly better than ``default`` (12.6 ms,
+      25/7496 flips) on both axes.
+    * ``default`` — single bf16 pass; 12.6 ms, 0.33% argmin flips on
+      near-ties (quality-neutral).
+    * ``highest`` — bf16x6, the conservative reference-numerics mode
+      (186 ms).
 
     Read at trace time: set before the first encode; already-compiled
-    programs keep their precision.
+    programs keep their mode.
     """
     import os
 
-    name = os.environ.get("DISTILCODEC_VQ_PRECISION", "high").upper()
-    return getattr(jax.lax.Precision, name, jax.lax.Precision.HIGH)
+    return os.environ.get("DISTILCODEC_VQ_PRECISION", "high").upper()
+
+
+def vq_matmul_precision() -> jax.lax.Precision:
+    """MXU precision of the distance matmul for modes that are plain matmul
+    precisions (the int8 modes apply only to the argmin search path and fall
+    back to HIGH where a full distance matrix is required)."""
+    return getattr(
+        jax.lax.Precision, vq_search_mode(), jax.lax.Precision.HIGH
+    )
 
 
 def pairwise_distance(
@@ -109,6 +126,45 @@ def pairwise_distance(
     return jnp.sqrt(jnp.clip(d2, 0.0, None))
 
 
+def nearest_code_int8(
+    x: jnp.ndarray, embed: jnp.ndarray, k: int = 16, recall: float = 0.99
+) -> jnp.ndarray:
+    """argmin_k ||x - e_k|| via int8 MXU scoring + exact fp32 rescore.
+
+    Per-row symmetric int8 quantization of both operands, one int8 matmul
+    (2x the bf16 MXU rate on v5e), ``approx_min_k`` over the approximate
+    scores, then the k candidates are rescored with an exact fp32 distance
+    and the winner chosen.  Exact whenever the true nearest neighbor
+    int8-ranks within the top-k (measured: 0/7496 misses at k=16 on the
+    flagship shape; see vq_search_mode docstring).
+    """
+    x = x.astype(jnp.float32)
+    embed = embed.astype(jnp.float32)
+    K = embed.shape[0]
+    k = min(k, K)
+    sx = jnp.max(jnp.abs(x), axis=-1, keepdims=True) / 127.0
+    se = jnp.max(jnp.abs(embed), axis=-1, keepdims=True) / 127.0
+    sx = jnp.maximum(sx, 1e-30)
+    se = jnp.maximum(se, 1e-30)
+    xq = jnp.round(x / sx).astype(jnp.int8)
+    eq = jnp.round(embed / se).astype(jnp.int8)
+    dot = jax.lax.dot_general(
+        xq, eq, (((1,), (1,)), ((), ())), preferred_element_type=jnp.int32
+    )  # (N, K) int32 on the MXU int8 path
+    e2 = jnp.sum(jnp.square(embed), axis=-1)
+    score = e2[None, :] - 2.0 * (sx * se.T) * dot.astype(jnp.float32)
+    _, idx = jax.lax.approx_min_k(score, k, recall_target=recall)
+    cand = embed[idx]  # (N, k, D)
+    xy = jnp.einsum(
+        "nkd,nd->nk", cand, x, precision=jax.lax.Precision.HIGHEST
+    )
+    d2 = jnp.sum(jnp.square(cand), axis=-1) - 2.0 * xy
+    best = jnp.argmin(d2, axis=-1)
+    return jnp.take_along_axis(idx, best[:, None], axis=1)[:, 0].astype(
+        jnp.int32
+    )
+
+
 def nearest_code_xla(x: jnp.ndarray, embed: jnp.ndarray) -> jnp.ndarray:
     """argmin_k ||x - e_k|| via one fp32 MXU matmul.  x: (N,D) -> (N,) int32.
 
@@ -116,6 +172,11 @@ def nearest_code_xla(x: jnp.ndarray, embed: jnp.ndarray) -> jnp.ndarray:
     constant per row and dropped.  First-index tie-breaking matches torch/jnp
     argmax conventions.
     """
+    mode = vq_search_mode()
+    if mode == "INT8":
+        return nearest_code_int8(x, embed, k=16, recall=0.99)
+    if mode == "INT8_FAST":
+        return nearest_code_int8(x, embed, k=8, recall=0.95)
     x = x.astype(jnp.float32)
     embed = embed.astype(jnp.float32)
     e2 = jnp.sum(jnp.square(embed), axis=-1)
@@ -545,6 +606,8 @@ class VectorQuantize(nn.Module):
                 ind = jnp.argmax(sim, axis=-1).astype(jnp.int32)
             elif C == 1:
                 ind = nearest_code(flat[0], embed_c[0])[None]
+            elif vq_search_mode().startswith("INT8"):
+                ind = jax.vmap(nearest_code_xla)(flat, embed_c)
             else:
                 e2 = jnp.sum(jnp.square(embed_c), axis=-1)  # (C, K)
                 xy = jnp.einsum(

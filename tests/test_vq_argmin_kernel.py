@@ -47,3 +47,32 @@ def test_fused_tie_break_first_index(rng):
         )
     )
     assert (got < 8).all(), got
+
+
+def test_int8_rescore_matches_high(rng, monkeypatch):
+    """int8-scored + fp32-rescored search: near-perfect agreement with the
+    exact fp32 argmin (exact on the TPU flagship shape per the measured
+    numbers in vq_search_mode; on small random tables a rare int8 ranking
+    miss is tolerated)."""
+    from distilcodec_nabeel_tpu.quantization.vq import nearest_code_int8
+
+    x = jnp.asarray(rng.standard_normal((400, 128)), jnp.float32)
+    e = jnp.asarray(rng.standard_normal((1024, 128)), jnp.float32)
+    ref = np.asarray(nearest_code_xla(x, e))
+    got = np.asarray(nearest_code_int8(x, e, k=16, recall=0.99))
+    agree = (got == ref).mean()
+    assert agree >= 0.99, f"agreement {agree:.4f}"
+    # every returned id must be a valid candidate (in-range)
+    assert got.min() >= 0 and got.max() < 1024
+
+
+def test_int8_mode_env_dispatch(rng, monkeypatch):
+    """DISTILCODEC_VQ_PRECISION=int8 routes nearest_code_xla through the
+    int8+rescore path (including k > K clamping on tiny codebooks)."""
+    x = jnp.asarray(rng.standard_normal((64, 32)), jnp.float32)
+    e = jnp.asarray(rng.standard_normal((8, 32)), jnp.float32)  # K=8 < k=16
+    ref = np.asarray(nearest_code_xla(x, e))
+    monkeypatch.setenv("DISTILCODEC_VQ_PRECISION", "int8")
+    got = np.asarray(nearest_code_xla(x, e))
+    # k clamps to K=8 -> candidate set is the whole table -> exact rescore
+    np.testing.assert_array_equal(got, ref)
