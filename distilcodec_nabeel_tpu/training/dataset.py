@@ -271,6 +271,114 @@ class AudioCropDataset:
         return audio.astype(np.float32), mel.astype(np.float32)
 
 
+class NativeCropLoader:
+    """C++-backed batcher: one native call decodes, resamples, random-crops,
+    and zero-pads the whole batch into a preallocated (B, segment) buffer in
+    C++ threads (native/dc_io.cpp), with double-buffered prefetch.  Covers
+    the standard training path (random crop, no fine-tune mels, no wav
+    cache); :func:`make_loader` selects it automatically when the native
+    library is available."""
+
+    def __init__(
+        self,
+        files: list[str],
+        batch_size: int,
+        segment_size: int,
+        sampling_rate: int,
+        num_workers: int = 0,
+        shuffle: bool = True,
+        seed: int = 1234,
+        drop_last: bool = True,
+    ):
+        self.files = list(files)
+        self.batch_size = batch_size
+        self.segment_size = segment_size
+        self.sampling_rate = sampling_rate
+        self.num_workers = num_workers  # 0 = hardware concurrency
+        self.shuffle = shuffle
+        self.seed = seed
+        self.drop_last = drop_last
+        self._epoch = 0
+
+    def __len__(self):
+        n = len(self.files)
+        return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
+
+    def __iter__(self):
+        from .. import native
+
+        order = list(range(len(self.files)))
+        if self.shuffle:
+            random.Random(self.seed + self._epoch).shuffle(order)
+        epoch = self._epoch
+        self._epoch += 1
+        batches = [
+            [self.files[j] for j in order[i : i + self.batch_size]]
+            for i in range(0, len(order), self.batch_size)
+        ]
+        if self.drop_last:
+            batches = [b for b in batches if len(b) == self.batch_size]
+
+        def produce(i):
+            out, _ = native.batch_crops(
+                batches[i],
+                self.segment_size,
+                self.sampling_rate,
+                seed=(self.seed * 1_000_003 + epoch) * 1_000_003 + i,
+                n_threads=self.num_workers,
+            )
+            return out
+
+        with ThreadPoolExecutor(1) as pool:  # C++ releases the GIL per batch
+            futures = []
+            idx = 0
+            while idx < len(batches) or futures:
+                while idx < len(batches) and len(futures) < 2:
+                    futures.append(pool.submit(produce, idx))
+                    idx += 1
+                yield futures.pop(0).result()
+
+
+def make_loader(
+    files: list[str],
+    batch_size: int,
+    segment_size: int,
+    sampling_rate: int,
+    num_workers: int = 4,
+    shuffle: bool = True,
+    seed: int = 1234,
+    drop_last: bool = True,
+):
+    """Pick the native C++ batch loader when available (and the files are
+    WAVs it can decode), else the Python thread-pool loader."""
+    from .. import native
+
+    if native.available() and all(
+        f.lower().endswith(".wav") for f in files[:64]
+    ):
+        return NativeCropLoader(
+            files,
+            batch_size,
+            segment_size,
+            sampling_rate,
+            num_workers=0,
+            shuffle=shuffle,
+            seed=seed,
+            drop_last=drop_last,
+        )
+    ds = AudioCropDataset(
+        files, segment_size=segment_size, sampling_rate=sampling_rate, seed=seed
+    )
+    return PrefetchLoader(
+        ds,
+        batch_size=batch_size,
+        num_workers=num_workers,
+        shuffle=shuffle,
+        seed=seed,
+        drop_last=drop_last,
+    )
+
+
 class PrefetchLoader:
     """Thread-pooled batcher: yields (B, segment) float32 arrays, overlapping
     file IO with device compute (num_workers, train_config.json:66)."""

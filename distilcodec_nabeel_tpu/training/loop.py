@@ -22,7 +22,12 @@ import numpy as np
 from ..config import CodecConfig, TrainConfig, load_model_config, load_train_config
 from ..utils import checkpoint as ckpt_utils
 from ..utils.logging import MetricsLogger, StepTimer, print_rank_0
-from .dataset import AudioCropDataset, PrefetchLoader, get_dataset_filelist
+from .dataset import (
+    AudioCropDataset,
+    PrefetchLoader,
+    get_dataset_filelist,
+    make_loader,
+)
 from .train import CodecTrainState, Trainer
 
 
@@ -53,15 +58,11 @@ def run_training(
             }
         )
 
-    dataset = AudioCropDataset(
+    loader = make_loader(
         training_files,
+        batch_size=train_cfg.batch_size,
         segment_size=codec_cfg.spec.segment_size,
         sampling_rate=codec_cfg.spec.sampling_rate,
-        seed=train_cfg.seed,
-    )
-    loader = PrefetchLoader(
-        dataset,
-        batch_size=train_cfg.batch_size,
         num_workers=train_cfg.num_workers,
         seed=train_cfg.seed,
     )
