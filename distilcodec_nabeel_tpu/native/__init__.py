@@ -69,6 +69,8 @@ def _load():
             ctypes.c_long,
             ctypes.c_int,
         ]
+        lib.dc_has_ffmpeg.restype = ctypes.c_int
+        lib.dc_has_ffmpeg.argtypes = []
         _lib = lib
         return _lib
 
@@ -76,6 +78,13 @@ def _load():
 def available() -> bool:
     """True when the native library compiled and loaded on this host."""
     return _load() is not None
+
+
+def has_ffmpeg() -> bool:
+    """True when the native library can decode non-WAV audio (mp3/flac/ogg)
+    through the host's ffmpeg libav shared libraries."""
+    lib = _load()
+    return bool(lib and lib.dc_has_ffmpeg())
 
 
 def load_wav(path: str, sr: int | None = None) -> tuple[np.ndarray, int]:

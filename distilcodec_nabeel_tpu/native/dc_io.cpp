@@ -1,5 +1,6 @@
-// Native data-loader core: WAV decode + polyphase resample + batched random
-// crops, multithreaded.  The TPU-side framework feeds raw audio crops into
+// Native data-loader core: audio decode (WAV natively; mp3/flac/ogg/... via
+// dlopened ffmpeg libav) + polyphase resample + batched random crops,
+// multithreaded.  The TPU-side framework feeds raw audio crops into
 // the jitted train step (training/dataset.py); this library removes the
 // Python/GIL per-item cost from that host path (reference data layer:
 // distilcodec/models/meldataset.py:18-20, :190-301 — librosa/soundfile do
@@ -26,6 +27,23 @@
 #include <string>
 #include <thread>
 #include <vector>
+
+// Universal (mp3/flac/ogg/m4a/...) decode via ffmpeg's libav*, dlopened at
+// runtime so the WAV fast path never depends on it.  The reference decodes
+// non-WAV audio through librosa->audioread/ffmpeg (distil_codec.py:657-684,
+// meldataset.py:18-20); this is the native twin.  Compiled out when the
+// libav headers are absent.
+#if defined(__has_include)
+#if __has_include(<libavformat/avformat.h>) && __has_include(<dlfcn.h>)
+#define DC_HAVE_FFMPEG 1
+extern "C" {
+#include <libavcodec/avcodec.h>
+#include <libavformat/avformat.h>
+#include <libavutil/avutil.h>
+}
+#include <dlfcn.h>
+#endif
+#endif
 
 namespace {
 
@@ -157,6 +175,245 @@ bool parse_wav(const std::vector<uint8_t>& buf, Wav& wav) {
   return true;
 }
 
+// --------------------------------------------------------- ffmpeg decoding
+
+#ifdef DC_HAVE_FFMPEG
+
+struct AvApi {
+  decltype(&avformat_open_input) open_input;
+  decltype(&avformat_find_stream_info) find_stream_info;
+  decltype(&avformat_close_input) close_input;
+  decltype(&av_find_best_stream) find_best_stream;
+  decltype(&avcodec_alloc_context3) alloc_context;
+  decltype(&avcodec_parameters_to_context) params_to_context;
+  decltype(&avcodec_open2) codec_open;
+  decltype(&avcodec_free_context) free_context;
+  decltype(&av_packet_alloc) packet_alloc;
+  decltype(&av_packet_free) packet_free;
+  decltype(&av_packet_unref) packet_unref;
+  decltype(&av_frame_alloc) frame_alloc;
+  decltype(&av_frame_free) frame_free;
+  decltype(&av_frame_unref) frame_unref;
+  decltype(&av_read_frame) read_frame;
+  decltype(&avcodec_send_packet) send_packet;
+  decltype(&avcodec_receive_frame) receive_frame;
+  bool ok = false;
+};
+
+#define DC_STR2(x) #x
+#define DC_STR(x) DC_STR2(x)
+
+const AvApi& av_api() {
+  static AvApi api = [] {
+    AvApi a{};
+    // sonames pinned to the header versions the file compiled against —
+    // struct layouts (AVFrame etc.) must match the runtime library.
+    void* u = dlopen("libavutil.so." DC_STR(LIBAVUTIL_VERSION_MAJOR),
+                     RTLD_NOW | RTLD_GLOBAL);
+    void* c = dlopen("libavcodec.so." DC_STR(LIBAVCODEC_VERSION_MAJOR),
+                     RTLD_NOW | RTLD_GLOBAL);
+    void* f = dlopen("libavformat.so." DC_STR(LIBAVFORMAT_VERSION_MAJOR),
+                     RTLD_NOW | RTLD_GLOBAL);
+    if (!u || !c || !f) return a;
+    auto sym = [](void* h, const char* n) { return dlsym(h, n); };
+    a.open_input = reinterpret_cast<decltype(a.open_input)>(
+        sym(f, "avformat_open_input"));
+    a.find_stream_info = reinterpret_cast<decltype(a.find_stream_info)>(
+        sym(f, "avformat_find_stream_info"));
+    a.close_input = reinterpret_cast<decltype(a.close_input)>(
+        sym(f, "avformat_close_input"));
+    a.find_best_stream = reinterpret_cast<decltype(a.find_best_stream)>(
+        sym(f, "av_find_best_stream"));
+    a.alloc_context = reinterpret_cast<decltype(a.alloc_context)>(
+        sym(c, "avcodec_alloc_context3"));
+    a.params_to_context = reinterpret_cast<decltype(a.params_to_context)>(
+        sym(c, "avcodec_parameters_to_context"));
+    a.codec_open =
+        reinterpret_cast<decltype(a.codec_open)>(sym(c, "avcodec_open2"));
+    a.free_context = reinterpret_cast<decltype(a.free_context)>(
+        sym(c, "avcodec_free_context"));
+    a.packet_alloc =
+        reinterpret_cast<decltype(a.packet_alloc)>(sym(c, "av_packet_alloc"));
+    a.packet_free =
+        reinterpret_cast<decltype(a.packet_free)>(sym(c, "av_packet_free"));
+    a.packet_unref =
+        reinterpret_cast<decltype(a.packet_unref)>(sym(c, "av_packet_unref"));
+    a.frame_alloc =
+        reinterpret_cast<decltype(a.frame_alloc)>(sym(u, "av_frame_alloc"));
+    a.frame_free =
+        reinterpret_cast<decltype(a.frame_free)>(sym(u, "av_frame_free"));
+    a.frame_unref =
+        reinterpret_cast<decltype(a.frame_unref)>(sym(u, "av_frame_unref"));
+    a.read_frame =
+        reinterpret_cast<decltype(a.read_frame)>(sym(f, "av_read_frame"));
+    a.send_packet = reinterpret_cast<decltype(a.send_packet)>(
+        sym(c, "avcodec_send_packet"));
+    a.receive_frame = reinterpret_cast<decltype(a.receive_frame)>(
+        sym(c, "avcodec_receive_frame"));
+    // silence per-file decoder chatter (timestamp warnings etc.)
+    auto set_level =
+        reinterpret_cast<void (*)(int)>(sym(u, "av_log_set_level"));
+    if (set_level) set_level(AV_LOG_ERROR);
+    a.ok = a.open_input && a.find_stream_info && a.close_input &&
+           a.find_best_stream && a.alloc_context && a.params_to_context &&
+           a.codec_open && a.free_context && a.packet_alloc && a.packet_free &&
+           a.packet_unref && a.frame_alloc && a.frame_free && a.frame_unref &&
+           a.read_frame && a.send_packet && a.receive_frame;
+    return a;
+  }();
+  return api;
+}
+
+// one decoded sample -> float in [-1, 1): same scaling family as the WAV
+// path / librosa float conversion
+inline float av_sample_to_float(const uint8_t* p, int fmt_base) {
+  switch (fmt_base) {
+    case AV_SAMPLE_FMT_U8:
+      return (static_cast<float>(*p) - 128.0f) / 128.0f;
+    case AV_SAMPLE_FMT_S16: {
+      int16_t v;
+      std::memcpy(&v, p, 2);
+      return static_cast<float>(v) / 32768.0f;
+    }
+    case AV_SAMPLE_FMT_S32: {
+      int32_t v;
+      std::memcpy(&v, p, 4);
+      return static_cast<float>(v) / 2147483648.0f;
+    }
+    case AV_SAMPLE_FMT_S64: {
+      int64_t v;
+      std::memcpy(&v, p, 8);
+      return static_cast<float>(static_cast<double>(v) / 9223372036854775808.0);
+    }
+    case AV_SAMPLE_FMT_FLT: {
+      float v;
+      std::memcpy(&v, p, 4);
+      return v;
+    }
+    case AV_SAMPLE_FMT_DBL: {
+      double v;
+      std::memcpy(&v, p, 8);
+      return static_cast<float>(v);
+    }
+    default:
+      return 0.0f;
+  }
+}
+
+// append a frame's samples, mono-meaned across channels (librosa mono=True)
+bool append_frame(const AVFrame* fr, std::vector<float>& out) {
+  int fmt = fr->format;
+  bool planar = fmt >= AV_SAMPLE_FMT_U8P;
+  int base = fmt;
+  if (planar) {
+    switch (fmt) {
+      case AV_SAMPLE_FMT_U8P: base = AV_SAMPLE_FMT_U8; break;
+      case AV_SAMPLE_FMT_S16P: base = AV_SAMPLE_FMT_S16; break;
+      case AV_SAMPLE_FMT_S32P: base = AV_SAMPLE_FMT_S32; break;
+      case AV_SAMPLE_FMT_S64P: base = AV_SAMPLE_FMT_S64; break;
+      case AV_SAMPLE_FMT_FLTP: base = AV_SAMPLE_FMT_FLT; break;
+      case AV_SAMPLE_FMT_DBLP: base = AV_SAMPLE_FMT_DBL; break;
+      default: return false;
+    }
+  }
+  size_t bytes_per;
+  switch (base) {
+    case AV_SAMPLE_FMT_U8: bytes_per = 1; break;
+    case AV_SAMPLE_FMT_S16: bytes_per = 2; break;
+    case AV_SAMPLE_FMT_S32: case AV_SAMPLE_FMT_FLT: bytes_per = 4; break;
+    case AV_SAMPLE_FMT_S64: case AV_SAMPLE_FMT_DBL: bytes_per = 8; break;
+    default: return false;
+  }
+  int ch = fr->ch_layout.nb_channels;
+  if (ch <= 0) return false;
+  float inv_ch = 1.0f / ch;
+  for (int i = 0; i < fr->nb_samples; ++i) {
+    float acc = 0.0f;
+    for (int c = 0; c < ch; ++c) {
+      const uint8_t* p =
+          planar ? fr->extended_data[c] + i * bytes_per
+                 : fr->extended_data[0] + (static_cast<size_t>(i) * ch + c) *
+                                              bytes_per;
+      acc += av_sample_to_float(p, base);
+    }
+    out.push_back(ch == 1 ? acc : acc * inv_ch);
+  }
+  return true;
+}
+
+bool decode_ffmpeg(const char* path, Wav& wav) {
+  const AvApi& av = av_api();
+  if (!av.ok) return false;
+  AVFormatContext* fmt = nullptr;
+  if (av.open_input(&fmt, path, nullptr, nullptr) < 0) return false;
+  bool ok = false;
+  AVCodecContext* cctx = nullptr;
+  AVPacket* pkt = nullptr;
+  AVFrame* frame = nullptr;
+  do {
+    if (av.find_stream_info(fmt, nullptr) < 0) break;
+    const AVCodec* dec = nullptr;
+    int si = av.find_best_stream(fmt, AVMEDIA_TYPE_AUDIO, -1, -1, &dec, 0);
+    if (si < 0 || !dec) break;
+    cctx = av.alloc_context(dec);
+    if (!cctx) break;
+    if (av.params_to_context(cctx, fmt->streams[si]->codecpar) < 0) break;
+    if (av.codec_open(cctx, dec, nullptr) < 0) break;
+    pkt = av.packet_alloc();
+    frame = av.frame_alloc();
+    if (!pkt || !frame) break;
+    wav.samples.clear();
+    bool bad = false;
+    auto drain = [&]() {
+      for (;;) {
+        int r = av.receive_frame(cctx, frame);
+        if (r < 0) return r;  // EAGAIN or EOF
+        if (wav.sample_rate == 0) wav.sample_rate = frame->sample_rate;
+        if (!append_frame(frame, wav.samples)) bad = true;
+        av.frame_unref(frame);
+        if (bad) return -1;
+      }
+    };
+    wav.sample_rate = cctx->sample_rate;
+    int err = 0;
+    while (av.read_frame(fmt, pkt) >= 0) {
+      if (pkt->stream_index == si) {
+        if (av.send_packet(cctx, pkt) == 0) {
+          err = drain();
+          if (bad) break;
+          (void)err;
+        }
+      }
+      av.packet_unref(pkt);
+    }
+    if (!bad) {
+      av.send_packet(cctx, nullptr);  // flush
+      drain();
+    }
+    ok = !bad && wav.sample_rate > 0 && !wav.samples.empty();
+  } while (false);
+  if (frame) av.frame_free(&frame);
+  if (pkt) av.packet_free(&pkt);
+  if (cctx) av.free_context(&cctx);
+  av.close_input(&fmt);
+  return ok;
+}
+
+#endif  // DC_HAVE_FFMPEG
+
+// WAV fast path first (bit-exact scipy.io.wavfile semantics), then ffmpeg
+// for everything else.
+bool decode_any(const char* path, Wav& wav) {
+  std::vector<uint8_t> buf;
+  if (read_file(path, buf) && parse_wav(buf, wav)) return true;
+#ifdef DC_HAVE_FFMPEG
+  wav = Wav{};
+  return decode_ffmpeg(path, wav);
+#else
+  return false;
+#endif
+}
+
 // ------------------------------------------------------------- resample_poly
 
 double bessel_i0(double x) {
@@ -282,10 +539,8 @@ void fill_noise(float* out, long n, uint64_t seed, float amp) {
 }
 
 bool load_resampled(const char* path, int target_sr, std::vector<float>& out) {
-  std::vector<uint8_t> buf;
-  if (!read_file(path, buf)) return false;
   Wav wav;
-  if (!parse_wav(buf, wav)) return false;
+  if (!decode_any(path, wav)) return false;
   if (target_sr > 0 && wav.sample_rate != target_sr) {
     resample(wav.samples, wav.sample_rate, target_sr, out);
   } else {
@@ -302,10 +557,8 @@ extern "C" {
 // (caller frees with dc_free) and the frame count; *sr_out gets the original
 // sample rate.  Returns -1 on failure.
 long dc_load_wav(const char* path, int target_sr, float** out, int* sr_out) {
-  std::vector<uint8_t> buf;
-  if (!read_file(path, buf)) return -1;
   Wav wav;
-  if (!parse_wav(buf, wav)) return -1;
+  if (!decode_any(path, wav)) return -1;
   if (sr_out) *sr_out = wav.sample_rate;
   std::vector<float> res;
   const std::vector<float>* src = &wav.samples;
@@ -321,6 +574,15 @@ long dc_load_wav(const char* path, int target_sr, float** out, int* sr_out) {
 }
 
 void dc_free(void* p) { std::free(p); }
+
+// 1 when non-WAV (mp3/flac/ogg/...) decoding is live on this host
+int dc_has_ffmpeg() {
+#ifdef DC_HAVE_FFMPEG
+  return av_api().ok ? 1 : 0;
+#else
+  return 0;
+#endif
+}
 
 // Batched random crops: decode+resample each path, take a random
 // `segment`-sample crop (zero-pad short clips), write row i of out

@@ -350,12 +350,15 @@ def make_loader(
     drop_last: bool = True,
 ):
     """Pick the native C++ batch loader when available (and the files are
-    WAVs it can decode), else the Python thread-pool loader."""
+    formats it can decode), else the Python thread-pool loader."""
     from .. import native
 
-    if native.available() and all(
-        f.lower().endswith(".wav") for f in files[:64]
-    ):
+    def _decodable(f: str) -> bool:
+        if f.lower().endswith(".wav"):
+            return True
+        return native.has_ffmpeg()  # mp3/flac/ogg/... via libav
+
+    if native.available() and all(_decodable(f) for f in files[:64]):
         return NativeCropLoader(
             files,
             batch_size,

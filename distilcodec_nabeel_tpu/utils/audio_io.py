@@ -19,10 +19,24 @@ def load_wav(path: str, sr: int | None = None) -> tuple[np.ndarray, int]:
 
     Returns (audio, sample_rate); resamples to ``sr`` when given (the
     reference's ``load_wav`` semantics, distilcodec/models/meldataset.py:18-20,
-    which loads mono at the target rate)."""
+    which loads mono at the target rate).  Non-WAV formats (mp3/flac/ogg —
+    the reference decodes them through librosa/audioread/ffmpeg,
+    distil_codec.py:657-684) route to the native libav decoder."""
     from scipy.io import wavfile
 
-    rate, data = wavfile.read(path)
+    try:
+        rate, data = wavfile.read(path)
+    except ValueError:
+        from .. import native
+
+        if native.has_ffmpeg():
+            # native decode, then the shared scipy-exact resample below
+            audio, rate = native.load_wav(path)
+            if sr is not None and rate != sr:
+                audio = resample(audio, rate, sr)
+                rate = sr
+            return audio, rate
+        raise
     if data.dtype == np.int16:
         audio = data.astype(np.float32) / 32768.0
     elif data.dtype == np.int32:

@@ -6,6 +6,7 @@ crops with zero-pad, and the corrupted-file noise fallback
 (reference: distilcodec/models/meldataset.py:18-20, :227-268).
 """
 
+import os
 import numpy as np
 import pytest
 
@@ -114,6 +115,33 @@ def test_save_wav_roundtrip(tmp_path, rng):
     b, sr_b = audio_io.load_wav(str(p2))
     assert sr_a == sr_b == 24000
     np.testing.assert_array_equal(a, b)
+
+
+REF_MP3 = "/root/reference/test.mp3"
+
+
+@pytest.mark.skipif(
+    not (native.available() and native.has_ffmpeg() and os.path.exists(REF_MP3)),
+    reason="no ffmpeg libav / reference mp3",
+)
+def test_mp3_decode_via_libav():
+    a, sr = native.load_wav(REF_MP3)
+    assert sr in (44100, 48000, 24000) and a.ndim == 1 and len(a) > 10000
+    assert 0.001 < np.abs(a).max() <= 1.5  # real audio, sane scale
+    # resampled load through the shared scipy-exact polyphase path
+    b, sr24 = audio_io.load_wav(REF_MP3, sr=24000)
+    assert sr24 == 24000
+    assert abs(len(b) - len(a) * 24000 / sr) <= 1
+    # batch_crops accepts mp3 directly
+    out, ok = native.batch_crops([REF_MP3], segment=8192, sr=24000, seed=5)
+    assert ok == 1 and out.shape == (1, 8192)
+    # the crop is a contiguous slice of the resampled stream
+    hits = np.flatnonzero(np.isclose(b[: -8191 or None], out[0, 0], atol=1e-7))
+    assert any(
+        np.allclose(b[s : s + 8192], out[0], atol=1e-7)
+        for s in hits
+        if s + 8192 <= len(b)
+    )
 
 
 def test_missing_file_raises():
