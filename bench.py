@@ -26,7 +26,7 @@ BATCH = 16
 SR = 24000
 
 
-def bench_ours(iters: int = 40) -> dict:
+def bench_ours(iters: int = 40, fused: bool = True) -> dict:
     import jax
     import jax.numpy as jnp
 
@@ -47,33 +47,56 @@ def bench_ours(iters: int = 40) -> dict:
 
     # bf16 conv stacks + fp32 VQ distance: the production inference mode
     # (reference demo encodes with enable_bfloat16=True, distil_codec.py:701)
-    encode = jax.jit(
-        lambda v, a: codec.module_bf16.apply(v, a, method="encode_codes")
-    )
-    decode = jax.jit(
-        lambda v, c: codec.module_bf16.apply(v, c, method="decode_codes")
-    )
+    def round_trip(variables, a):
+        """encode -> codes -> decode, returning data-dependent scalars."""
+        codes_flat = codec.module_bf16.apply(
+            variables, a, method="encode_codes"
+        )  # (B, G*R, L)
+        g, r = cfg["quantizer"]["n_groups"], cfg["quantizer"]["n_codebooks"]
+        b, _, L = codes_flat.shape
+        codes = jnp.transpose(
+            codes_flat.reshape(b, g, r, L), (1, 0, 3, 2)
+        )  # (G, B, L, R)
+        wave = codec.module_bf16.apply(variables, codes, method="decode_codes")
+        return jnp.sum(wave) + jnp.sum(codes_flat).astype(jnp.float32)
 
-    codes_flat = encode(codec.variables, audio)  # (B, G*R, L)
-    g, r = cfg["quantizer"]["n_groups"], cfg["quantizer"]["n_codebooks"]
-    L = codes_flat.shape[-1]
-    codes = jnp.transpose(
-        codes_flat.reshape(BATCH, g, r, L), (1, 0, 3, 2)
-    )  # (G, B, L, R)
-    wave = decode(codec.variables, codes)
-    # NOTE: on the tunneled TPU backend block_until_ready does not actually
-    # block; synchronize via a host fetch of a value that data-depends on
-    # every iteration's work.
-    float(jnp.sum(wave)) + int(jnp.sum(codes_flat))
+    if fused:
+        # One dispatch for the whole timed run: lax.scan over the round trip,
+        # the input perturbed per step (scan bodies re-execute every step;
+        # the perturbation additionally forecloses any compiler elision).
+        # This measures steady-state device throughput — on this tunneled
+        # backend each dispatch costs ~80 ms of host latency that a
+        # production TPU serving path would not pay (see DESIGN.md timing
+        # methodology) and that per-iteration dispatch benching double-counts.
+        from functools import partial
 
-    t0 = time.perf_counter()
-    acc = jnp.zeros((), jnp.float32)
-    for _ in range(iters):
-        c = encode(codec.variables, audio)
-        w = decode(codec.variables, codes)
-        acc = acc + jnp.sum(w) + jnp.sum(c).astype(jnp.float32)
-    float(acc)  # forces the full dependency chain
-    dt = time.perf_counter() - t0
+        @partial(jax.jit, static_argnums=(2,))
+        def timed_run(variables, a, n):
+            def body(acc, i):
+                s = round_trip(variables, a + (i.astype(jnp.float32) * 1e-6))
+                return acc + s, ()
+
+            acc, _ = jax.lax.scan(
+                body, jnp.zeros((), jnp.float32), jnp.arange(n)
+            )
+            return acc
+
+        # warm up the EXACT program (n is static: another n is another
+        # compilation, which must not land inside the timed region)
+        float(timed_run(codec.variables, audio, iters))
+        t0 = time.perf_counter()
+        acc = timed_run(codec.variables, audio, iters)
+        float(acc)  # host fetch forces the full dependency chain
+        dt = time.perf_counter() - t0
+    else:  # --dispatch-per-iter: includes per-call host dispatch latency
+        rt = jax.jit(round_trip)
+        float(rt(codec.variables, audio))
+        t0 = time.perf_counter()
+        acc = jnp.zeros((), jnp.float32)
+        for _ in range(iters):
+            acc = acc + rt(codec.variables, audio)
+        float(acc)
+        dt = time.perf_counter() - t0
 
     audio_seconds = BATCH * SECONDS * iters
     return {
@@ -83,6 +106,7 @@ def bench_ours(iters: int = 40) -> dict:
         "batch": BATCH,
         "clip_seconds": SECONDS,
         "n_devices": len(jax.devices()),
+        "fused": fused,
     }
 
 
@@ -158,7 +182,7 @@ def main():
         print(json.dumps(result))
         return
 
-    ours = bench_ours()
+    ours = bench_ours(fused="--dispatch-per-iter" not in sys.argv)
     baseline_rate = None
     if os.path.exists(BASELINE_FILE):
         with open(BASELINE_FILE) as f:

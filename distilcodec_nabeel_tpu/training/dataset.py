@@ -169,6 +169,25 @@ def get_dataset_filelist(training_config: dict, suffix: str = ".wav"):
     return training_files, validation_files
 
 
+def shard_files(
+    files: list[str], host_id: int | None = None, n_hosts: int | None = None
+) -> list[str]:
+    """Deterministic per-host shard of a file list for multi-host training:
+    each process loads a disjoint subset and GSPMD data-parallelism sees a
+    globally-disjoint batch (the reference relies on DistributedSampler for
+    this under DDP; here the split happens at the file list).  Round-robin
+    over the given order so replay-mixture proportions survive sharding."""
+    import jax
+
+    if host_id is None:
+        host_id = jax.process_index()
+    if n_hosts is None:
+        n_hosts = jax.process_count()
+    if n_hosts <= 1:
+        return list(files)
+    return files[host_id::n_hosts]
+
+
 # ------------------------------------------------------------------ dataset
 
 

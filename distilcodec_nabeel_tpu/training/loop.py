@@ -27,8 +27,48 @@ from .dataset import (
     PrefetchLoader,
     get_dataset_filelist,
     make_loader,
+    shard_files,
 )
 from .train import CodecTrainState, Trainer
+
+
+class GracefulShutdown:
+    """Preemption-safe stop: SIGTERM/SIGINT set a flag the training loop
+    polls each step, so the final state is checkpointed and the loop returns
+    cleanly instead of dying mid-step.  (TPU pods surface maintenance events
+    and autoscaler evictions as SIGTERM; the reference has no handling —
+    SURVEY §5.3 — resume relies purely on the last periodic checkpoint.)"""
+
+    def __init__(self):
+        self.requested = False
+        self._prev = {}
+
+    def __enter__(self):
+        import signal
+        import threading
+
+        if threading.current_thread() is not threading.main_thread():
+            return self  # signal handlers only work in the main thread
+        for sig in (signal.SIGTERM, signal.SIGINT):
+            try:
+                self._prev[sig] = signal.signal(sig, self._handler)
+            except (ValueError, OSError):  # non-main interpreter contexts
+                pass
+        return self
+
+    def _handler(self, signum, frame):
+        print_rank_0(f"signal {signum}: finishing step, then checkpointing")
+        self.requested = True
+
+    def __exit__(self, *exc):
+        import signal
+
+        for sig, prev in self._prev.items():
+            try:
+                signal.signal(sig, prev)
+            except (ValueError, OSError):
+                pass
+        return False
 
 
 def make_data_mesh():
@@ -58,6 +98,8 @@ def run_training(
             }
         )
 
+    # multi-host: each process reads a disjoint shard of the file list
+    training_files = shard_files(training_files)
     loader = make_loader(
         training_files,
         batch_size=train_cfg.batch_size,
@@ -146,60 +188,71 @@ def run_training(
     step = int(state.step)
     rng_step = jax.random.fold_in(rng, 1234)
     done = False
-    for epoch in range(train_cfg.training_epochs):
-        if done:
-            break
-        for batch in loader:
-            t0 = time.perf_counter()
-            rng_step = jax.random.fold_in(rng_step, step)
-            state, metrics = step_fn(state, jnp.asarray(batch), rng_step)
-            step += 1
-
-            if step % train_cfg.summary_interval == 0:
-                jax.block_until_ready(metrics)
-                dt = time.perf_counter() - t0
-                metrics = dict(metrics)
-                metrics["perf/step_time_s"] = dt
-                metrics["perf/audio_seconds_per_s"] = (
-                    batch.shape[0]
-                    * batch.shape[1]
-                    / codec_cfg.spec.sampling_rate
-                    / dt
-                )
-                logger.log(metrics, step)
-            if step % train_cfg.stdout_interval == 0:
-                print_rank_0(
-                    f"epoch {epoch} step {step}: "
-                    f"g={float(metrics['g_loss/total']):.3f} "
-                    f"d={float(metrics['d_loss/total']):.3f}"
-                )
-            if step % train_cfg.validation_interval == 0 and val_batches:
-                val_metrics = {}
-                for vb in val_batches:
-                    m = eval_fn(state, jnp.asarray(vb))
-                    for k, v in m.items():
-                        val_metrics.setdefault(k, []).append(float(v))
-                logger.log(
-                    {k: float(np.mean(v)) for k, v in val_metrics.items()}, step
-                )
-            if step % train_cfg.checkpoint_interval == 0:
-                ckpt_utils.save_train_state(
-                    save_path, step, state, train_cfg.num_ckpt_keep
-                )
-                ckpt_utils.save_reference_checkpoint(
-                    save_path,
-                    step,
-                    {
-                        "params": state.gen_params,
-                        "codebook": state.codebook,
-                    },
-                    codec_cfg,
-                    train_cfg.num_ckpt_keep,
-                )
-            if max_steps is not None and step >= max_steps:
-                done = True
+    shutdown = GracefulShutdown()
+    with shutdown:
+        for epoch in range(train_cfg.training_epochs):
+            if done:
                 break
+            for batch in loader:
+                t0 = time.perf_counter()
+                rng_step = jax.random.fold_in(rng_step, step)
+                state, metrics = step_fn(state, jnp.asarray(batch), rng_step)
+                step += 1
 
+                if step % train_cfg.summary_interval == 0:
+                    jax.block_until_ready(metrics)
+                    dt = time.perf_counter() - t0
+                    metrics = dict(metrics)
+                    metrics["perf/step_time_s"] = dt
+                    metrics["perf/audio_seconds_per_s"] = (
+                        batch.shape[0]
+                        * batch.shape[1]
+                        / codec_cfg.spec.sampling_rate
+                        / dt
+                    )
+                    logger.log(metrics, step)
+                if step % train_cfg.stdout_interval == 0:
+                    print_rank_0(
+                        f"epoch {epoch} step {step}: "
+                        f"g={float(metrics['g_loss/total']):.3f} "
+                        f"d={float(metrics['d_loss/total']):.3f}"
+                    )
+                if step % train_cfg.validation_interval == 0 and val_batches:
+                    val_metrics = {}
+                    for vb in val_batches:
+                        m = eval_fn(state, jnp.asarray(vb))
+                        for k, v in m.items():
+                            val_metrics.setdefault(k, []).append(float(v))
+                    logger.log(
+                        {k: float(np.mean(v)) for k, v in val_metrics.items()}, step
+                    )
+                if step % train_cfg.checkpoint_interval == 0:
+                    ckpt_utils.save_train_state(
+                        save_path, step, state, train_cfg.num_ckpt_keep
+                    )
+                    ckpt_utils.save_reference_checkpoint(
+                        save_path,
+                        step,
+                        {
+                            "params": state.gen_params,
+                            "codebook": state.codebook,
+                        },
+                        codec_cfg,
+                        train_cfg.num_ckpt_keep,
+                    )
+                if max_steps is not None and step >= max_steps:
+                    done = True
+                    break
+                if shutdown.requested:
+                    done = True
+                    break
+
+    if shutdown.requested and step % train_cfg.checkpoint_interval != 0:
+        # preemption: persist the exact stopping point for seamless resume
+        print_rank_0(f"Shutdown requested: checkpointing at step {step}")
+        ckpt_utils.save_train_state(
+            save_path, step, state, train_cfg.num_ckpt_keep
+        )
     logger.close()
     return state
 

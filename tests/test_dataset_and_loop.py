@@ -104,3 +104,73 @@ def test_short_training_loop(wav_dir, tmp_path):
     assert int(state.step) == 2
     assert os.path.exists(tmp_path / "ckpt" / "g_00000002")
     assert os.path.exists(tmp_path / "ckpt" / "state_00000002")
+
+
+def test_shard_files_disjoint_and_complete():
+    from distilcodec_nabeel_tpu.training.dataset import shard_files
+
+    files = [f"f{i}.wav" for i in range(10)]
+    shards = [shard_files(files, host_id=h, n_hosts=3) for h in range(3)]
+    # disjoint, complete, round-robin (replay-mixture order preserved)
+    assert sorted(sum(shards, [])) == sorted(files)
+    assert len(set(sum(shards, []))) == 10
+    assert shards[0] == ["f0.wav", "f3.wav", "f6.wav", "f9.wav"]
+    # single host: identity
+    assert shard_files(files, host_id=0, n_hosts=1) == files
+
+
+def test_graceful_shutdown_checkpoints(wav_dir, tmp_path):
+    """SIGTERM mid-training: the loop finishes the in-flight step, writes a
+    resume checkpoint at the exact stopping step, and returns cleanly
+    (preemption-safe behavior the reference lacks, SURVEY §5.3)."""
+    import dataclasses
+    import os as _os
+    import signal
+    import threading
+
+    from distilcodec_nabeel_tpu.training.loop import run_training
+
+    codec_cfg = mini_codec_cfg()
+    codec_cfg = dataclasses.replace(
+        codec_cfg, spec=dataclasses.replace(codec_cfg.spec, segment_size=2048)
+    )
+    tcfg = mini_train_cfg()
+    tcfg = dataclasses.replace(
+        tcfg,
+        save_path=str(tmp_path / "ckpt"),
+        checkpoint_interval=1000,  # never hit: only the shutdown save fires
+        summary_interval=1000,
+        stdout_interval=1000,
+        validation_interval=1000,
+        training_epochs=1000,
+    )
+    files = [str(wav_dir / "stage1" / f"clip{i}.wav") for i in range(6)]
+
+    # a benign handler in case the timer fires before run_training installs
+    # its own (e.g. during the first compile)
+    prev = signal.signal(signal.SIGTERM, lambda *_: None)
+    stop = threading.Event()
+
+    def keep_signaling():
+        while not stop.wait(1.0):
+            _os.kill(_os.getpid(), signal.SIGTERM)
+
+    t = threading.Thread(target=keep_signaling, daemon=True)
+    t.start()
+    try:
+        state = run_training(
+            codec_cfg,
+            tcfg,
+            training_files=files,
+            validation_files=[],
+            use_mesh=False,
+            log_dir=str(tmp_path / "logs"),
+        )
+    finally:
+        stop.set()
+        t.join()
+        signal.signal(signal.SIGTERM, prev)
+
+    step = int(state.step)
+    assert 1 <= step < 100  # stopped early, not by epochs running out
+    assert _os.path.exists(tmp_path / "ckpt" / f"state_{step:08d}")
