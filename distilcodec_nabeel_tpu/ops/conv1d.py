@@ -128,6 +128,58 @@ def conv1d_packed(
     return y.reshape(B, T, Cout).astype(x.dtype)
 
 
+def conv1d_packed_frames(
+    x: jnp.ndarray,
+    w: jnp.ndarray,
+    *,
+    pack: int,
+    padding: int = 0,
+    dilation: int = 1,
+    preferred_element_type=jnp.float32,
+) -> jnp.ndarray:
+    """SAME-length conv on an ALREADY-PACKED (B, S, pack*Cin) tensor,
+    returning packed (B, S, pack*Cout).
+
+    Unlike :func:`conv1d_packed` (which packs/unpacks around a single conv —
+    measured a loss, DESIGN.md §5), this stays in packed space so a whole
+    residual stack pays the relayout once at stage entry/exit.  Measured on
+    v5e for the HiFiGAN C=32 final stage (L=240128, pack=4): 28 ms vs 64 ms
+    unpacked lax convs vs 209 ms unpacked-with-fp32-bias — the MXU sees
+    128-lane matmuls instead of 32.
+
+    Math: represents x of length T = S*pack; y[t] = sum_k w[k]·x[t - padding
+    + k*dilation] with zero padding outside [0, T).  Exact (same fp32 MXU
+    accumulation; structural zeros add exactly)."""
+    B, S, PC = x.shape
+    K, Cin, Cout = w.shape
+    f = pack
+    assert PC == f * Cin, (PC, f, Cin)
+    p = padding
+    P = -(-p // f) * f  # frame-aligned left pad
+    Lf = P // f
+    max_o = (f - 1) + (P - p) + (K - 1) * dilation
+    M = max_o // f + 1
+    R = M - 1 - Lf
+    assert R >= 0, (M, Lf)  # holds whenever padding <= (K-1)*dilation + f
+    xpad = jnp.pad(x, ((0, 0), (Lf, R), (0, 0)))
+    wpk = jnp.zeros((M, f * Cin, f * Cout), w.dtype)
+    for j in range(f):
+        for k in range(K):
+            o = j + (P - p) + k * dilation
+            a, b = divmod(o, f)
+            wpk = wpk.at[
+                a, b * Cin : (b + 1) * Cin, j * Cout : (j + 1) * Cout
+            ].add(w[k])
+    return jax.lax.conv_general_dilated(
+        xpad,
+        wpk,
+        window_strides=(1,),
+        padding="VALID",
+        dimension_numbers=("NHC", "HIO", "NHC"),
+        preferred_element_type=preferred_element_type,
+    )
+
+
 def conv_transpose1d_mm(
     x: jnp.ndarray,
     w: jnp.ndarray,

@@ -103,3 +103,55 @@ def test_conv1d_packed_matches_lax(rng, c, k, dilation, pack):
     got = conv1d_packed(x, w, padding=pad, dilation=dilation, pack=pack)
     assert got.shape == ref.shape
     np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize(
+    "c,k,dilation,pack",
+    [
+        (32, 3, 1, 4),
+        (32, 7, 3, 4),
+        (32, 11, 5, 4),
+        (16, 13, 6, 8),
+        (64, 3, 1, 2),
+        (32, 4, 1, 4),  # even kernel (asymmetric-pad family)
+    ],
+)
+def test_conv1d_packed_frames_matches_lax(rng, c, k, dilation, pack):
+    """Whole-stage packed conv: packed-in/packed-out SAME-length conv equals
+    the plain lax conv after unpacking."""
+    from distilcodec_nabeel_tpu.ops.conv1d import conv1d_packed_frames
+
+    pad = (k * dilation - dilation) // 2
+    T = 96
+    x = jnp.asarray(rng.standard_normal((2, T, c)).astype(np.float32))
+    w = jnp.asarray(rng.standard_normal((k, c, c)).astype(np.float32))
+    ref = lax_conv(x, w, 1, pad, dilation, 1)
+    xp = x.reshape(2, T // pack, pack * c)
+    got = conv1d_packed_frames(
+        xp, w, pack=pack, padding=pad, dilation=dilation
+    ).reshape(2, -1, c)[:, :ref.shape[1]]
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-4)
+
+
+def test_parallel_block_packed_matches_unpacked(rng):
+    """ParallelBlock auto-packing (C=32 -> pack 4) is numerically equivalent
+    to the unpacked stack (same weights via identical param tree)."""
+    import os
+
+    from distilcodec_nabeel_tpu.models.blocks import ParallelBlock
+
+    x = jnp.asarray(rng.standard_normal((2, 64, 32)).astype(np.float32))
+    mod = ParallelBlock(32)
+    vs = mod.init(jax.random.PRNGKey(0), x)
+    packed = mod.apply(vs, x)  # C=32 & T%4==0 -> packed path
+    os.environ["DISTILCODEC_PACK_RESBLOCKS"] = "0"
+    try:
+        ref = mod.apply(vs, x)
+    finally:
+        del os.environ["DISTILCODEC_PACK_RESBLOCKS"]
+    np.testing.assert_allclose(packed, ref, rtol=1e-5, atol=1e-5)
+    # odd length -> packing silently disabled, still correct shape
+    x65 = jnp.asarray(rng.standard_normal((2, 65, 32)).astype(np.float32))
+    y65 = mod.apply(vs, x65)
+    assert y65.shape == (2, 65, 32)
