@@ -301,7 +301,24 @@ class ConvTranspose1d(nn.Module):
         else:
             kernel = self.param("kernel", self.kernel_init, kshape, jnp.float32)
         dtype = self.dtype or x.dtype
-        if _conv_lowering() == "mm":
+        # small-C_out upsamples underfill MXU lanes; emit f_out packed output
+        # samples per frame instead (ops.conv1d.conv_transpose1d_packed)
+        f_out = _resblock_pack(self.features, 0)
+        while f_out > 1 and (
+            f_out % self.stride or x.shape[1] % (f_out // self.stride)
+        ):
+            f_out //= 2
+        if f_out > 1 and _conv_lowering() == "auto":
+            from ..ops.conv1d import conv_transpose1d_packed
+
+            y = conv_transpose1d_packed(
+                x.astype(dtype),
+                kernel.astype(dtype),
+                stride=self.stride,
+                padding=self.padding,
+                f_out=f_out,
+            )
+        elif _conv_lowering() == "mm":
             from ..ops.conv1d import conv_transpose1d_mm
 
             y = conv_transpose1d_mm(

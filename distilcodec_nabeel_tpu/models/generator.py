@@ -90,14 +90,25 @@ class HiFiGANGenerator(nn.Module):
                 x = block(x)
 
         x = nn.silu(x)
+        # conv_post has ONE output channel — packed it emits f samples/frame
+        # (8.2 ms -> ~2 ms at the flagship shape; blocks._resblock_pack)
+        from .blocks import _resblock_pack
+
+        B, T, C = x.shape
+        f = _resblock_pack(C, T)
+        if f > 1:
+            x = x.reshape(B, T // f, f * C)
         x = Conv1d(
             1,
             cfg.post_conv_kernel_size,
             padding=get_padding(cfg.post_conv_kernel_size),
             use_weight_norm=True,
             dtype=self.dtype,
+            pack=f,
             name="conv_post",
         )(x)
+        if f > 1:
+            x = x.reshape(B, T, 1)
         # waveform always returned fp32 (bf16 mantissa is audible)
         return jnp.tanh(x.astype(jnp.float32))[..., 0]
 

@@ -180,6 +180,70 @@ def conv1d_packed_frames(
     )
 
 
+def conv_transpose1d_packed(
+    x: jnp.ndarray,
+    w: jnp.ndarray,
+    *,
+    stride: int,
+    padding: int = 0,
+    f_out: int = 4,
+) -> jnp.ndarray:
+    """Transposed conv with time-packed output frames for small C_out.
+
+    x: (B, T, Cin) unpacked; w: (K, Cin, Cout) in pre-flipped conv layout
+    (what models.blocks.ConvTranspose1d stores); returns (B, T_out, Cout),
+    T_out = (T-1)*stride - 2*padding + K (torch semantics).
+
+    The output is produced ``f_out`` samples per packed frame (f_out*Cout
+    lanes) from input packed at f_in = f_out/stride — one dense VALID conv,
+    full MXU lanes.  The late HiFiGAN upsamples (C_out 64/32) run at 15/5.6
+    TFLOP/s unpacked on v5e; exact (fp32 MXU accumulation either way)."""
+    B, T, Cin = x.shape
+    K, _, Cout = w.shape
+    u = stride
+    assert f_out % u == 0, (f_out, u)
+    f_in = f_out // u
+    assert T % f_in == 0, (T, f_in)
+    t_out = (T - 1) * u - 2 * padding + K
+    pad_total = K - 1 - padding
+    S = T // f_in
+    S_o = -(-t_out // f_out)
+
+    taps = []  # (jo, j, a, b)
+    for jo in range(f_out):
+        for j in range(K):
+            r = jo + j - pad_total
+            if r % u:
+                continue
+            q = r // u
+            a, b = divmod(q, f_in)
+            taps.append((jo, j, a, b))
+    a_min = min(a for _, _, a, _ in taps)
+    a_max = max(a for _, _, a, _ in taps)
+    M = a_max - a_min + 1
+
+    xp = x.reshape(B, S, f_in * Cin)
+    left = -a_min
+    need = S_o + M - 1
+    right = max(0, need - (S + left))
+    xp = jnp.pad(xp, ((0, 0), (left, right), (0, 0)))[:, :need]
+
+    wpk = jnp.zeros((M, f_in * Cin, f_out * Cout), w.dtype)
+    for jo, j, a, b in taps:
+        wpk = wpk.at[
+            a - a_min, b * Cin : (b + 1) * Cin, jo * Cout : (jo + 1) * Cout
+        ].add(w[j])
+    y = jax.lax.conv_general_dilated(
+        xp,
+        wpk,
+        window_strides=(1,),
+        padding="VALID",
+        dimension_numbers=("NHC", "HIO", "NHC"),
+        preferred_element_type=jnp.float32 if x.dtype == jnp.float32 else x.dtype,
+    )  # (B, S_o, f_out*Cout)
+    return y.reshape(B, S_o * f_out, Cout)[:, :t_out]
+
+
 def conv_transpose1d_mm(
     x: jnp.ndarray,
     w: jnp.ndarray,

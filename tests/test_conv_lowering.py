@@ -155,3 +155,30 @@ def test_parallel_block_packed_matches_unpacked(rng):
     x65 = jnp.asarray(rng.standard_normal((2, 65, 32)).astype(np.float32))
     y65 = mod.apply(vs, x65)
     assert y65.shape == (2, 65, 32)
+
+
+@pytest.mark.parametrize(
+    "cin,cout,k,u,f_out",
+    [
+        (64, 32, 4, 2, 4),
+        (128, 64, 4, 2, 2),
+        (64, 32, 16, 8, 8),
+        (32, 16, 12, 4, 8),
+        (16, 8, 3, 1, 8),
+    ],
+)
+def test_conv_transpose1d_packed_matches_lax(rng, cin, cout, k, u, f_out):
+    from distilcodec_nabeel_tpu.ops.conv1d import conv_transpose1d_packed
+
+    pad = (k - u) // 2 if k >= u else 0
+    T = 48
+    x = jnp.asarray(rng.standard_normal((2, T, cin)).astype(np.float32))
+    w = jnp.asarray(rng.standard_normal((k, cin, cout)).astype(np.float32))
+    ref = jax.lax.conv_general_dilated(
+        x, w, window_strides=(1,), padding=[(k - 1 - pad, k - 1 - pad)],
+        lhs_dilation=(u,), dimension_numbers=("NHC", "HIO", "NHC"),
+        preferred_element_type=jnp.float32,
+    )
+    got = conv_transpose1d_packed(x, w, stride=u, padding=pad, f_out=f_out)
+    assert got.shape == ref.shape, (got.shape, ref.shape)
+    np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-4)
