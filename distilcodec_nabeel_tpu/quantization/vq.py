@@ -82,6 +82,10 @@ def vq_search_mode() -> str:
     * ``int8_fast`` — same with k=8, recall 0.95; 11.9 ms, 1/7496 flips.
       2.46x over ``high`` and strictly better than ``default`` (12.6 ms,
       25/7496 flips) on both axes.
+    * ``rescored`` — single bf16 score pass + ``approx_min_k`` (k=32) +
+      exact fp32 rescore of the candidates.  Exact unless the true argmin
+      bf16-ranks below 32 (vs below 1 for ``default``); no codebook
+      requantization, so it also wins inside scans (the int8 modes do not).
     * ``default`` — single bf16 pass; 12.6 ms, 0.33% argmin flips on
       near-ties (quality-neutral).
     * ``highest`` — bf16x6, the conservative reference-numerics mode
@@ -165,6 +169,37 @@ def nearest_code_int8(
     )
 
 
+def nearest_code_rescored(
+    x: jnp.ndarray, embed: jnp.ndarray, k: int = 32
+) -> jnp.ndarray:
+    """argmin via one bf16 score pass + exact fp32 rescore of the top-k.
+
+    One DEFAULT-precision (single bf16 pass) distance matmul ranks the
+    codebook, ``approx_min_k`` keeps k candidates, and those are rescored
+    with HIGHEST-precision fp32.  Exact whenever the true nearest neighbor
+    bf16-ranks within the top-k — a far weaker requirement than the
+    bf16-top-1 of ``DISTILCODEC_VQ_PRECISION=default`` (whose measured flip
+    rate was 0.33%, all near-ties).  Unlike the int8 modes there is no
+    codebook requantization pass, so it also wins inside scanned/looped
+    programs."""
+    x = x.astype(jnp.float32)
+    embed = embed.astype(jnp.float32)
+    K = embed.shape[0]
+    k = min(k, K)
+    e2 = jnp.sum(jnp.square(embed), axis=-1)
+    xy = jnp.matmul(x, embed.T, precision=jax.lax.Precision.DEFAULT)
+    _, idx = jax.lax.approx_min_k(e2[None, :] - 2.0 * xy, k, recall_target=0.99)
+    cand = embed[idx]  # (N, k, D)
+    xy2 = jnp.einsum(
+        "nkd,nd->nk", cand, x, precision=jax.lax.Precision.HIGHEST
+    )
+    d2 = jnp.sum(jnp.square(cand), axis=-1) - 2.0 * xy2
+    best = jnp.argmin(d2, axis=-1)
+    return jnp.take_along_axis(idx, best[:, None], axis=1)[:, 0].astype(
+        jnp.int32
+    )
+
+
 def nearest_code_xla(x: jnp.ndarray, embed: jnp.ndarray) -> jnp.ndarray:
     """argmin_k ||x - e_k|| via one fp32 MXU matmul.  x: (N,D) -> (N,) int32.
 
@@ -177,6 +212,8 @@ def nearest_code_xla(x: jnp.ndarray, embed: jnp.ndarray) -> jnp.ndarray:
         return nearest_code_int8(x, embed, k=16, recall=0.99)
     if mode == "INT8_FAST":
         return nearest_code_int8(x, embed, k=8, recall=0.95)
+    if mode == "RESCORED":
+        return nearest_code_rescored(x, embed)
     x = x.astype(jnp.float32)
     embed = embed.astype(jnp.float32)
     e2 = jnp.sum(jnp.square(embed), axis=-1)
@@ -606,7 +643,7 @@ class VectorQuantize(nn.Module):
                 ind = jnp.argmax(sim, axis=-1).astype(jnp.int32)
             elif C == 1:
                 ind = nearest_code(flat[0], embed_c[0])[None]
-            elif vq_search_mode().startswith("INT8"):
+            elif vq_search_mode() in ("INT8", "INT8_FAST", "RESCORED"):
                 ind = jax.vmap(nearest_code_xla)(flat, embed_c)
             else:
                 e2 = jnp.sum(jnp.square(embed_c), axis=-1)  # (C, K)

@@ -76,3 +76,23 @@ def test_int8_mode_env_dispatch(rng, monkeypatch):
     got = np.asarray(nearest_code_xla(x, e))
     # k clamps to K=8 -> candidate set is the whole table -> exact rescore
     np.testing.assert_array_equal(got, ref)
+
+
+def test_rescored_matches_exact(rng, monkeypatch):
+    """bf16-score + fp32-rescore search agrees with the exact argmin (CPU
+    'DEFAULT' precision is already fp32, so agreement here must be perfect;
+    on TPU the k=32 rescue absorbs bf16 ranking noise)."""
+    from distilcodec_nabeel_tpu.quantization.vq import nearest_code_rescored
+
+    x = jnp.asarray(rng.standard_normal((400, 128)), jnp.float32)
+    e = jnp.asarray(rng.standard_normal((1024, 128)), jnp.float32)
+    ref = np.asarray(nearest_code_xla(x, e))
+    got = np.asarray(nearest_code_rescored(x, e))
+    agree = (got == ref).mean()
+    assert agree >= 0.99, f"agreement {agree:.4f}"
+    # env dispatch incl. k > K clamp
+    e8 = jnp.asarray(rng.standard_normal((8, 128)), jnp.float32)
+    ref8 = np.asarray(nearest_code_xla(x, e8))
+    monkeypatch.setenv("DISTILCODEC_VQ_PRECISION", "rescored")
+    got8 = np.asarray(nearest_code_xla(x, e8))
+    np.testing.assert_array_equal(got8, ref8)
