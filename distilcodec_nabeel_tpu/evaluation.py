@@ -2,10 +2,12 @@
 
 Provides the README-style evaluation surfaces (reference README.md:62-91):
 codebook usage %% and perplexity over a test set, plus reconstruction metrics
-(SI-SNR, multi-resolution log-mel L1, STOI) computed on-device.  PESQ/UTMOS
-require external models/binaries not present in this image; STOI is
-implemented natively (the standard 1/3-octave short-time correlation
-definition) as the intelligibility metric.
+(SI-SNR, multi-resolution log-mel L1, STOI, PESQ-like) computed on-device or
+natively.  UTMOS requires an external model not present in this image; STOI
+is implemented natively (the standard 1/3-octave short-time correlation
+definition) and the listening-quality score is the native P.862-structured
+``pesq_like`` (see pesq_like.py for the honesty note — same algorithm
+structure and MOS-LQO mapping as PESQ, generated psychoacoustic tables).
 """
 
 from __future__ import annotations
@@ -128,10 +130,12 @@ def evaluate_codec(
     + README.md:62-91 metrics)."""
     from .utils.audio_io import load_wav
 
+    from .pesq_like import pesq_like
+
     sr = codec.spec_config.sampling_rate
     K = codec.codec_config.quantizer.codebook_size
     counts = np.zeros(K, np.int64)
-    si_snrs, stois, mel_l1s = [], [], []
+    si_snrs, stois, mel_l1s, pesqs = [], [], [], []
     files = audio_files[:max_files] if max_files else audio_files
     for path in files:
         audio, _ = load_wav(path, sr=sr)
@@ -145,6 +149,7 @@ def evaluate_codec(
         n = min(len(audio), len(wave))
         si_snrs.append(si_snr(audio[:n], wave[:n]))
         stois.append(stoi(audio[:n], wave[:n], sr))
+        pesqs.append(pesq_like(audio[:n], wave[:n], sr))
         mel_l1s.append(
             mel_l1_multi_res(audio[:n], wave[:n], codec.spec_config)["mel_l1_total"]
         )
@@ -155,6 +160,7 @@ def evaluate_codec(
         "n_files": len(files),
         "si_snr_mean": float(np.mean(si_snrs)),
         "stoi_mean": float(np.mean(stois)),
+        "pesq_like_mean": float(np.mean(pesqs)),
         "mel_l1_total_mean": float(np.mean(mel_l1s)),
         "codebook_usage": float((counts > 0).mean()),
         "codebook_perplexity": float(np.exp(entropy)),

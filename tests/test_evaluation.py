@@ -10,6 +10,7 @@ from distilcodec_nabeel_tpu.evaluation import (
     si_snr,
     stoi,
 )
+from distilcodec_nabeel_tpu.pesq_like import pesq_like
 from test_codec_facade import MINI_CONFIG
 
 
@@ -37,6 +38,39 @@ def test_stoi_properties(rng):
     assert stoi(x, noise, 24000) < 0.85
     assert stoi(x, x + 0.2 * noise, 24000) > stoi(x, x + 2.0 * noise, 24000)
     assert stoi(x, x + 0.2 * noise, 24000) > stoi(x, noise, 24000)
+
+
+def test_pesq_like_properties(rng):
+    # speech-shaped test signal: amplitude-modulated broadband noise,
+    # band-limited-ish by the receive filter inside the metric
+    t = np.arange(72000) / 24000
+    x = (
+        rng.standard_normal(72000) * (1 + 0.8 * np.sin(2 * np.pi * 4 * t))
+    ).astype(np.float32) * 0.3
+
+    clean = pesq_like(x, x, 24000)
+    assert clean > 4.0  # identity ~ max MOS-LQO
+    assert pesq_like(x, 0.5 * x, 24000) > 3.8  # near-gain-invariant
+
+    noise = rng.standard_normal(72000).astype(np.float32) * 0.3
+    light = pesq_like(x, x + 0.05 * noise, 24000)
+    heavy = pesq_like(x, x + 0.5 * noise, 24000)
+    uncorr = pesq_like(x, noise, 24000)
+    assert clean >= light > heavy > uncorr  # monotone in degradation
+    assert 0.9 < uncorr < 3.0  # bounded, clearly "bad"
+    # narrowband mode runs and stays in range
+    nb = pesq_like(x, x + 0.2 * noise, 24000, mode="nb")
+    assert 0.9 < nb < 4.7
+
+
+def test_pesq_like_delay_alignment(rng):
+    t = np.arange(48000) / 24000
+    x = (
+        rng.standard_normal(48000) * (1 + 0.8 * np.sin(2 * np.pi * 4 * t))
+    ).astype(np.float32) * 0.3
+    delayed = np.concatenate([np.zeros(480, np.float32), x])[:48000]
+    # 20 ms constant delay must be absorbed by the aligner
+    assert pesq_like(x, delayed, 24000) > 3.5
 
 
 def test_mel_l1_multi_res(rng):
