@@ -84,8 +84,13 @@ def vq_search_mode() -> str:
       25/7496 flips) on both axes.
     * ``rescored`` — single bf16 score pass + ``approx_min_k`` (k=32) +
       exact fp32 rescore of the candidates.  Exact unless the true argmin
-      bf16-ranks below 32 (vs below 1 for ``default``); no codebook
-      requantization, so it also wins inside scans (the int8 modes do not).
+      bf16-ranks below 32 (vs below 1 for ``default``); measured 0/1072
+      token flips vs ``high`` on real audio at the flagship config.  No
+      codebook requantization — but the full fused round trip still LOSES
+      (540.6 vs 633.8 au-s/s/chip): the ``high`` path's argmin fuses into
+      the distance matmul's epilogue, while ``approx_min_k`` + the (N,k,D)
+      candidate gather break that fusion.  Kept opt-in as the documented
+      negative result (same in-context pattern as the int8 modes).
     * ``default`` — single bf16 pass; 12.6 ms, 0.33% argmin flips on
       near-ties (quality-neutral).
     * ``highest`` — bf16x6, the conservative reference-numerics mode
