@@ -1,0 +1,196 @@
+"""Per-stage device-time profile of the GAN train step at full size.
+
+Times the step's constituent programs separately with the two-K fused-scan
+methodology (DESIGN.md "timing"): generator forward, discriminator forward
+(each family separately), D-step fwd+bwd+adam, G-step fwd+bwd+adam, and the
+full train step — so the optimization target is visible (the full step is
+NOT the sum of parts: XLA fuses/overlaps across them, but the ordering of
+costs is what matters).
+
+Usage: python bench_train_stages.py [--batch 8] [--segment 72000]
+                                    [--iters 2 6] [--stages a,b,...]
+Prints one JSON line per stage.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+from functools import partial
+
+import numpy as np
+
+SR = 24000
+
+
+def timed_ms(fn, args, k1: int, k2: int) -> float:
+    import jax
+    import jax.numpy as jnp
+
+    @partial(jax.jit, static_argnums=(1,))
+    def run(args, n):
+        def body(acc, i):
+            s = fn(i, *args)
+            leaves = jax.tree_util.tree_leaves(s)
+            tot = sum(jnp.sum(l).astype(jnp.float32) for l in leaves)
+            return acc + tot, ()
+
+        acc, _ = jax.lax.scan(body, jnp.zeros((), jnp.float32), jnp.arange(n))
+        return acc
+
+    ts = []
+    for n in (k1, k2):
+        float(run(args, n))  # compile + warm
+        t0 = time.perf_counter()
+        float(run(args, n))
+        ts.append(time.perf_counter() - t0)
+    return (ts[1] - ts[0]) / (k2 - k1) * 1e3
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--segment", type=int, default=72000)
+    ap.add_argument("--iters", nargs=2, type=int, default=[2, 6])
+    ap.add_argument(
+        "--stages",
+        default="gen_fwd,mpd,msd,msstft,full_step",
+        help="comma list from: gen_fwd,mpd,msd,msstft,full_step",
+    )
+    args = ap.parse_args()
+    k1, k2 = args.iters
+    stages = set(args.stages.split(","))
+
+    import jax
+    import jax.numpy as jnp
+
+    from distilcodec_nabeel_tpu.config import CodecConfig, TrainConfig
+    from distilcodec_nabeel_tpu.models.discriminators import (
+        MultiPeriodDiscriminator,
+        MultiScaleDiscriminator,
+    )
+    from distilcodec_nabeel_tpu.models.msstftd import MultiScaleSTFTDiscriminator
+    from distilcodec_nabeel_tpu.training.train import Trainer
+    from distilcodec_nabeel_tpu.utils.common import (
+        enable_compilation_cache,
+        load_json,
+    )
+
+    enable_compilation_cache()
+    codec_cfg = CodecConfig.from_dict(
+        load_json("/root/reference/configs/model_config.json")
+    )
+    train_cfg = TrainConfig.from_dict(
+        load_json("/root/reference/configs/train_config.json")
+    )
+    trainer = Trainer(codec_cfg, train_cfg, steps_per_epoch=1000)
+    state = trainer.init_state(jax.random.PRNGKey(0), segment_len=args.segment)
+
+    rng = np.random.default_rng(0)
+    audio = jnp.asarray(
+        rng.standard_normal((args.batch, args.segment)).astype(np.float32) * 0.1
+    )
+    wave_len = trainer._gen_len(args.segment)
+    y = audio[:, :wave_len]
+
+    def pert(x, i):
+        return x + i.astype(x.dtype) * jnp.asarray(1e-6, x.dtype)
+
+    def rec(stage, ms):
+        print(json.dumps({"stage": stage, "ms": round(ms, 2)}), flush=True)
+
+    # ---------------- generator (codec) forward, training mode, no EMA
+    def gen_fwd(i, a):
+        out, _ = trainer.module.apply(
+            {"params": state.gen_params, "codebook": state.codebook},
+            pert(a, i),
+            training=True,
+            update_ema=False,
+            rngs={"droppath": jax.random.PRNGKey(0)},
+            mutable=["codebook"],
+        )
+        y_hat, result = out
+        return y_hat, result.commitment_loss
+
+    if "gen_fwd" in stages:
+        rec("gen_fwd(train mode)", timed_ms(gen_fwd, (audio,), k1, k2))
+
+    # materialize a fake y_hat for discriminator timing (right shape/dtype)
+    y_hat = jnp.asarray(
+        rng.standard_normal((args.batch, wave_len)).astype(np.float32) * 0.1
+    )
+
+    d = codec_cfg.descriminators or {}
+    mpd_cfg = d.get("MultiPeriodDiscriminator", {})
+    msstft_cfg = d.get("MultiScaleSTFTDiscriminator", {})
+
+    if "mpd" in stages:
+        mpd = MultiPeriodDiscriminator(
+            periods=tuple(mpd_cfg.get("periods", (2, 3, 5, 7, 11))),
+            kernel_size=mpd_cfg.get("kernal_size", 5),
+            stride=mpd_cfg.get("stride", 3),
+        )
+        vmpd = mpd.init(jax.random.PRNGKey(1), y, y_hat)
+        rec(
+            "mpd_fwd",
+            timed_ms(
+                lambda i, a, b: mpd.apply(vmpd, pert(a, i), pert(b, i))[:2],
+                (y, y_hat),
+                k1,
+                k2,
+            ),
+        )
+
+    if "msd" in stages:
+        msd = MultiScaleDiscriminator()
+        vmsd = msd.init(jax.random.PRNGKey(2), y, y_hat)
+        rec(
+            "msd_fwd",
+            timed_ms(
+                lambda i, a, b: msd.apply(vmsd, pert(a, i), pert(b, i))[:2],
+                (y, y_hat),
+                k1,
+                k2,
+            ),
+        )
+
+    if "msstft" in stages:
+        msstft = MultiScaleSTFTDiscriminator(
+            filters=msstft_cfg.get("filters", 32),
+            n_ffts=tuple(msstft_cfg.get("n_ffts", (1024, 2048, 512, 256, 128))),
+            hop_lengths=tuple(
+                msstft_cfg.get("hop_lengths", (256, 512, 128, 64, 32))
+            ),
+            win_lengths=tuple(
+                msstft_cfg.get("win_lengths", (1024, 2048, 512, 256, 128))
+            ),
+        )
+        vst = msstft.init(jax.random.PRNGKey(3), y)
+        rec(
+            "msstft_fwd(y+y_hat)",
+            timed_ms(
+                lambda i, a, b: (
+                    msstft.apply(vst, pert(a, i))[0],
+                    msstft.apply(vst, pert(b, i))[0],
+                ),
+                (y, y_hat),
+                k1,
+                k2,
+            ),
+        )
+
+    # ---------------- full step (fwd+bwd+both adam updates, EMA transition)
+    # (backwards ≈ 2x the forwards above; the gap between the forward sum
+    # x3 and this number is fusion/overlap + optimizer + EMA + mel losses)
+    if "full_step" in stages:
+
+        def full(i, a):
+            st, metrics = trainer.train_step(state, pert(a, i), jax.random.PRNGKey(0))
+            return metrics["g_loss/total"]
+
+        rec("full_step", timed_ms(full, (audio,), k1, k2))
+
+
+if __name__ == "__main__":
+    main()

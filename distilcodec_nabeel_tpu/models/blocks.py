@@ -173,6 +173,13 @@ class Conv1d(nn.Module):
 
         strategy = _conv_lowering()
         is_depthwise = self.groups == in_ch and self.features == in_ch
+        groups = self.groups
+        if groups > 1 and not is_depthwise:
+            from ..ops.conv1d import grouped_lowering, grouped_to_dense_kernel
+
+            if grouped_lowering() == "dense":
+                kernel = grouped_to_dense_kernel(kernel, groups)
+                groups = 1
         use_mm = strategy == "mm" or (strategy == "auto" and is_depthwise)
         # space-to-depth packing for small-channel dense convs (MXU lane fill)
         import os as _os
@@ -211,7 +218,7 @@ class Conv1d(nn.Module):
                 stride=self.stride,
                 padding=self.padding,
                 dilation=self.dilation,
-                groups=self.groups,
+                groups=groups,
             )
         else:
             y = jax.lax.conv_general_dilated(
@@ -221,7 +228,7 @@ class Conv1d(nn.Module):
                 padding=[(self.padding, self.padding)],
                 rhs_dilation=(self.dilation,),
                 dimension_numbers=("NHC", "HIO", "NHC"),
-                feature_group_count=self.groups,
+                feature_group_count=groups,
                 preferred_element_type=pref,
             )
         if self.use_bias:

@@ -57,16 +57,22 @@ class WNConv2d(nn.Module):
         else:
             kernel = v
         b = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
+        # compute in the input dtype (params stay fp32): bf16 inputs halve
+        # the conv activation/gradient buffers — the dominant training-memory
+        # cost (see Trainer.disc_dtype) — and double the MXU rate; fp32
+        # accumulation is only forced when the input itself is fp32
+        dtype = x.dtype
+        pref = jnp.float32 if dtype == jnp.float32 else dtype
         y = jax.lax.conv_general_dilated(
             x,
-            kernel,
+            kernel.astype(dtype),
             window_strides=self.strides,
             padding=[(self.padding[0], self.padding[0]), (self.padding[1], self.padding[1])],
             rhs_dilation=self.dilation,
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            preferred_element_type=jnp.float32,
+            preferred_element_type=pref,
         )
-        return y + b
+        return y + b.astype(y.dtype)
 
 
 class SNConv1d(nn.Module):
@@ -112,16 +118,27 @@ class SNConv1d(nn.Module):
         sigma = jnp.dot(u, jnp.matmul(w2d, v))
         kernel = w / sigma
         b = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
+        # spectral-norm math above stays fp32 on the fp32 param; only the
+        # conv computes in the input dtype (see WNConv2d note)
+        dtype = x.dtype
+        pref = jnp.float32 if dtype == jnp.float32 else dtype
+        groups = self.groups
+        if groups > 1:
+            from ..ops.conv1d import grouped_lowering, grouped_to_dense_kernel
+
+            if grouped_lowering() == "dense":
+                kernel = grouped_to_dense_kernel(kernel, groups)
+                groups = 1
         y = jax.lax.conv_general_dilated(
             x,
-            kernel,
+            kernel.astype(dtype),
             window_strides=(self.stride,),
             padding=[(self.padding, self.padding)],
             dimension_numbers=("NHC", "HIO", "NHC"),
-            feature_group_count=self.groups,
-            preferred_element_type=jnp.float32,
+            feature_group_count=groups,
+            preferred_element_type=pref,
         )
-        return y + b
+        return y + b.astype(y.dtype)
 
 
 def _l2norm(x, eps=1e-12):
@@ -247,11 +264,15 @@ def _wn_conv1d(features, kernel, stride, padding, groups, name):
 
 def _avg_pool1d(x: jnp.ndarray, window: int = 4, stride: int = 2, padding: int = 2):
     """torch AvgPool1d(count_include_pad=True) over (B, T)."""
+    import numpy as np
+
     xp = jnp.pad(x, ((0, 0), (padding, padding)))
+    # init value must be a concrete constant in the operand dtype (a traced
+    # zero breaks reduce_window's transpose rule)
     summed = jax.lax.reduce_window(
-        xp, 0.0, jax.lax.add, (1, window), (1, stride), "VALID"
+        xp, np.zeros((), xp.dtype)[()], jax.lax.add, (1, window), (1, stride), "VALID"
     )
-    return summed / window
+    return summed / np.asarray(window, xp.dtype)[()]
 
 
 class MultiScaleDiscriminator(nn.Module):

@@ -50,10 +50,16 @@ class DiscriminatorSTFT(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray):
         """x: (B, T) waveform -> (logits (B, H, W, 1), fmaps)."""
+        # STFT always in fp32 (small; the reference's torchaudio Spectrogram
+        # runs fp32 too); only the conv stack follows the input dtype
         re, im = stft_complex(
-            x, self.n_fft, self.hop_length, self.win_length, normalized=True
+            x.astype(jnp.float32),
+            self.n_fft,
+            self.hop_length,
+            self.win_length,
+            normalized=True,
         )  # (B, frames, F) each
-        z = jnp.stack([re, im], axis=-1)  # (B, T', F, 2) — H=time, W=freq
+        z = jnp.stack([re, im], axis=-1).astype(x.dtype)  # (B, T', F, 2)
         fmap = []
         # first conv: NOT weight-normed (reference msstftd.py:163-169)
         z = WNConv2d(

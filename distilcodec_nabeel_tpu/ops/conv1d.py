@@ -288,3 +288,45 @@ def conv_transpose1d_mm(
     # interleave phases: (B, n_t, u, Cout) -> (B, n_t*u, Cout)
     out = jnp.stack(out_phases, axis=2).reshape(B, n_t * u, Cout)
     return out[:, :t_out].astype(x.dtype)
+
+
+def grouped_to_dense_kernel(kernel: jnp.ndarray, groups: int) -> jnp.ndarray:
+    """Expand a grouped-conv kernel (K, Cin/g, Cout) to the equivalent
+    block-diagonal DENSE kernel (K, Cin, Cout).
+
+    Why: XLA's gradient decomposition of ``feature_group_count`` convs
+    materializes (B, T, g, Cin/g)-shaped activations with the BATCH dim
+    minor-most, which tile-pads batch up to the 128-lane width — measured
+    6.7-8x memory expansion on the MSD's g=16 convs (2.2 GB per buffer at
+    batch 19x72000, the training-step OOM driver; see DESIGN.md).  A dense
+    conv with zeros outside the block diagonal computes identical outputs
+    and gradients (the einsum with the identity routes each gradient back to
+    its block) through XLA's standard, well-laid-out dense conv path, at
+    ``groups``x the FLOPs — the right trade wherever the grouped conv is
+    memory-bound or lane-starved (Cin/g < 128).
+
+    torch channel convention: group h owns input channels [h*cg, (h+1)*cg)
+    and output channels [h*outg, (h+1)*outg).
+    """
+    k, cg, cout = kernel.shape
+    assert cout % groups == 0
+    outg = cout // groups
+    w = kernel.reshape(k, cg, groups, outg)
+    eye = jnp.eye(groups, dtype=kernel.dtype)
+    dense = jnp.einsum("kcgo,hg->khcgo", w, eye)
+    return dense.reshape(k, groups * cg, cout)
+
+
+def grouped_lowering() -> str:
+    """``DISTILCODEC_GROUPED_CONV``: how non-depthwise grouped convs lower.
+
+    * ``grouped`` (default) — lax ``feature_group_count`` (fewest FLOPs).
+    * ``dense`` — block-diagonal masked dense conv via
+      ``grouped_to_dense_kernel``: ``groups``x FLOPs, but avoids the
+      batch-minor tile-padded gradient buffers of the grouped path (the
+      training-memory OOM driver at large batch) and fills all 128 MXU
+      lanes.  Read at trace time.
+    """
+    import os
+
+    return os.environ.get("DISTILCODEC_GROUPED_CONV", "grouped")

@@ -182,3 +182,48 @@ def test_conv_transpose1d_packed_matches_lax(rng, cin, cout, k, u, f_out):
     got = conv_transpose1d_packed(x, w, stride=u, padding=pad, f_out=f_out)
     assert got.shape == ref.shape, (got.shape, ref.shape)
     np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-4)
+
+
+def test_grouped_dense_lowering_matches(rng, monkeypatch):
+    """DISTILCODEC_GROUPED_CONV=dense: block-diagonal masked dense conv ==
+    feature_group_count conv, values and gradients."""
+    import jax
+    import jax.numpy as jnp
+
+    from distilcodec_nabeel_tpu.models.blocks import Conv1d
+    from distilcodec_nabeel_tpu.ops.conv1d import grouped_to_dense_kernel
+
+    # kernel-level identity
+    w = jnp.asarray(rng.standard_normal((5, 8, 32)).astype(np.float32))
+    dense = grouped_to_dense_kernel(w, 4)
+    assert dense.shape == (5, 32, 32)
+    x = jnp.asarray(rng.standard_normal((2, 64, 32)).astype(np.float32))
+    ref = jax.lax.conv_general_dilated(
+        x, w, (1,), [(2, 2)], dimension_numbers=("NHC", "HIO", "NHC"),
+        feature_group_count=4,
+    )
+    got = jax.lax.conv_general_dilated(
+        x, dense, (1,), [(2, 2)], dimension_numbers=("NHC", "HIO", "NHC"),
+    )
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5)
+
+    # module-level, including weight-norm params and gradients
+    conv = Conv1d(32, 5, padding=2, groups=4, use_weight_norm=True)
+    variables = conv.init(jax.random.PRNGKey(0), x)
+
+    def loss(v, x):
+        return jnp.sum(jnp.square(conv.apply(v, x)))
+
+    g_ref = jax.grad(loss)(variables, x)
+    y_ref = conv.apply(variables, x)
+    monkeypatch.setenv("DISTILCODEC_GROUPED_CONV", "dense")
+    jax.clear_caches()
+    y_dense = conv.apply(variables, x)
+    g_dense = jax.grad(loss)(variables, x)
+    np.testing.assert_allclose(np.asarray(y_dense), np.asarray(y_ref), atol=2e-5)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(g_dense), jax.tree_util.tree_leaves(g_ref)
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4)
+    monkeypatch.delenv("DISTILCODEC_GROUPED_CONV")
+    jax.clear_caches()

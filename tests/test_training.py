@@ -138,3 +138,36 @@ def test_data_parallel_step_matches_single(trainer, state, rng):
         dp_state.codebook["quantizer"]["grvq"]["rvqs_0"]["layers_0"]["embed"]
     )
     np.testing.assert_allclose(cb_ref, cb_dp, rtol=1e-3, atol=1e-3)
+
+
+def test_bf16_discriminator_mode(trainer, state, rng):
+    """disc_dtype='bfloat16' (memory/MXU mode): same param tree, one step
+    runs, losses finite and close to the fp32 step's (loose tolerance —
+    bf16 convs round; reductions accumulate fp32)."""
+    tr16 = Trainer(
+        mini_codec_cfg(), mini_train_cfg(), steps_per_epoch=10,
+        disc_dtype="bfloat16",
+    )
+    # param trees are identical: dtype is compute-only, params stay fp32
+    s16 = tr16.init_state(jax.random.PRNGKey(0), segment_len=2048)
+    assert jax.tree_util.tree_structure(
+        s16.disc_params
+    ) == jax.tree_util.tree_structure(state.disc_params)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(s16.disc_params),
+        jax.tree_util.tree_leaves(state.disc_params),
+    ):
+        assert a.dtype == jnp.float32 and a.shape == b.shape
+
+    audio = jnp.asarray(rng.standard_normal((2, 2048)).astype(np.float32) * 0.1)
+    # run both from the SAME initial state for comparability
+    st32, m32 = jax.jit(trainer.train_step)(state, audio, jax.random.PRNGKey(1))
+    st16, m16 = jax.jit(tr16.train_step)(state, audio, jax.random.PRNGKey(1))
+    for k in m16:
+        assert np.isfinite(np.asarray(m16[k])).all(), k
+    d32 = float(m32["d_loss/total"])
+    d16 = float(m16["d_loss/total"])
+    assert abs(d32 - d16) < 0.15 * max(abs(d32), 1.0), (d32, d16)
+    g32 = float(m32["g_loss/total"])
+    g16 = float(m16["g_loss/total"])
+    assert abs(g32 - g16) < 0.15 * max(abs(g32), 1.0), (g32, g16)
