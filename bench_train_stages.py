@@ -58,6 +58,11 @@ def main():
         default="gen_fwd,mpd,msd,msstft,full_step",
         help="comma list from: gen_fwd,mpd,msd,msstft,full_step",
     )
+    ap.add_argument(
+        "--disc-dtype",
+        default=None,
+        help="time the discriminator stages in this dtype (e.g. bfloat16)",
+    )
     args = ap.parse_args()
     k1, k2 = args.iters
     stages = set(args.stages.split(","))
@@ -93,6 +98,8 @@ def main():
     )
     wave_len = trainer._gen_len(args.segment)
     y = audio[:, :wave_len]
+    ddt = jnp.dtype(args.disc_dtype) if args.disc_dtype else jnp.float32
+    y = y.astype(ddt)
 
     def pert(x, i):
         return x + i.astype(x.dtype) * jnp.asarray(1e-6, x.dtype)
@@ -119,7 +126,7 @@ def main():
     # materialize a fake y_hat for discriminator timing (right shape/dtype)
     y_hat = jnp.asarray(
         rng.standard_normal((args.batch, wave_len)).astype(np.float32) * 0.1
-    )
+    ).astype(ddt)
 
     d = codec_cfg.descriminators or {}
     mpd_cfg = d.get("MultiPeriodDiscriminator", {})

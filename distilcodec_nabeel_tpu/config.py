@@ -214,6 +214,11 @@ class TrainConfig:
     validation_files_path: Any = None
     distill: Any = None
     wandb: Any = None
+    # framework extension (not in the reference's train_config.json):
+    # discriminator conv compute dtype — None/fp32 = reference numerics,
+    # "bfloat16" halves disc activation memory and doubles MXU rate
+    # (DESIGN.md "Training memory"; Trainer.disc_dtype)
+    disc_dtype: str | None = None
 
     @classmethod
     def from_dict(cls, d: dict) -> "TrainConfig":

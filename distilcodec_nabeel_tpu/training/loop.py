@@ -109,7 +109,12 @@ def run_training(
         seed=train_cfg.seed,
     )
     steps_per_epoch = max(1, len(loader))
-    trainer = Trainer(codec_cfg, train_cfg, steps_per_epoch=steps_per_epoch)
+    trainer = Trainer(
+        codec_cfg,
+        train_cfg,
+        steps_per_epoch=steps_per_epoch,
+        disc_dtype=train_cfg.disc_dtype,
+    )
 
     rng = jax.random.PRNGKey(train_cfg.seed)
     state = trainer.init_state(rng)
