@@ -7,6 +7,13 @@ full train step — so the optimization target is visible (the full step is
 NOT the sum of parts: XLA fuses/overlaps across them, but the ordering of
 costs is what matters).
 
+Backward attribution (VERDICT r1 item 8): the ``*_dgrad`` stages time each
+discriminator family's fwd+bwd w.r.t. its params (the D phase), ``*_ggrad``
+the fwd+bwd w.r.t. y_hat through adv+FM losses (the G phase), ``gen_vjp`` the
+generator forward+backward pullback, ``mel_grad`` the mel-L1 bwd, ``ema`` the
+EMA codebook transition alone — so the train step's cost ordering is visible
+end to end.
+
 Usage: python bench_train_stages.py [--batch 8] [--segment 72000]
                                     [--iters 2 6] [--stages a,b,...]
 Prints one JSON line per stage.
@@ -55,8 +62,14 @@ def main():
     ap.add_argument("--iters", nargs=2, type=int, default=[2, 6])
     ap.add_argument(
         "--stages",
-        default="gen_fwd,mpd,msd,msstft,full_step",
-        help="comma list from: gen_fwd,mpd,msd,msstft,full_step",
+        default=(
+            "gen_fwd,mpd,msd,msstft,mpd_dgrad,msd_dgrad,msstft_dgrad,"
+            "mpd_ggrad,msd_ggrad,msstft_ggrad,gen_vjp,mel_grad,ema,full_step"
+        ),
+        help=(
+            "comma list from: gen_fwd,mpd,msd,msstft,{mpd,msd,msstft}_dgrad,"
+            "{mpd,msd,msstft}_ggrad,gen_vjp,mel_grad,ema,full_step"
+        ),
     )
     ap.add_argument(
         "--disc-dtype",
@@ -132,37 +145,28 @@ def main():
     mpd_cfg = d.get("MultiPeriodDiscriminator", {})
     msstft_cfg = d.get("MultiScaleSTFTDiscriminator", {})
 
-    if "mpd" in stages:
+    from distilcodec_nabeel_tpu.training.losses import (
+        discriminator_loss,
+        feature_loss,
+        generator_loss,
+        mel_l1_loss,
+    )
+
+    # uniform per-family interface: fn(params, a, b) -> (rs, gs, fr, fg)
+    families = {}
+    if stages & {"mpd", "mpd_dgrad", "mpd_ggrad"}:
         mpd = MultiPeriodDiscriminator(
             periods=tuple(mpd_cfg.get("periods", (2, 3, 5, 7, 11))),
             kernel_size=mpd_cfg.get("kernal_size", 5),
             stride=mpd_cfg.get("stride", 3),
         )
         vmpd = mpd.init(jax.random.PRNGKey(1), y, y_hat)
-        rec(
-            "mpd_fwd",
-            timed_ms(
-                lambda i, a, b: mpd.apply(vmpd, pert(a, i), pert(b, i))[:2],
-                (y, y_hat),
-                k1,
-                k2,
-            ),
-        )
-
-    if "msd" in stages:
+        families["mpd"] = (lambda p, a, b: mpd.apply(p, a, b), vmpd)
+    if stages & {"msd", "msd_dgrad", "msd_ggrad"}:
         msd = MultiScaleDiscriminator()
         vmsd = msd.init(jax.random.PRNGKey(2), y, y_hat)
-        rec(
-            "msd_fwd",
-            timed_ms(
-                lambda i, a, b: msd.apply(vmsd, pert(a, i), pert(b, i))[:2],
-                (y, y_hat),
-                k1,
-                k2,
-            ),
-        )
-
-    if "msstft" in stages:
+        families["msd"] = (lambda p, a, b: msd.apply(p, a, b), vmsd)
+    if stages & {"msstft", "msstft_dgrad", "msstft_ggrad"}:
         msstft = MultiScaleSTFTDiscriminator(
             filters=msstft_cfg.get("filters", 32),
             n_ffts=tuple(msstft_cfg.get("n_ffts", (1024, 2048, 512, 256, 128))),
@@ -174,22 +178,127 @@ def main():
             ),
         )
         vst = msstft.init(jax.random.PRNGKey(3), y)
-        rec(
-            "msstft_fwd(y+y_hat)",
-            timed_ms(
-                lambda i, a, b: (
-                    msstft.apply(vst, pert(a, i))[0],
-                    msstft.apply(vst, pert(b, i))[0],
+
+        def _msstft_both(p, a, b):
+            r_log, r_fm = msstft.apply(p, a)
+            g_log, g_fm = msstft.apply(p, b)
+            return r_log, g_log, r_fm, g_fm
+
+        families["msstft"] = (_msstft_both, vst)
+
+    for name, (fn, params) in families.items():
+        if name in stages:
+            rec(
+                f"{name}_fwd",
+                timed_ms(
+                    lambda i, a, b, fn=fn, params=params: fn(
+                        params, pert(a, i), pert(b, i)
+                    )[:2],
+                    (y, y_hat),
+                    k1,
+                    k2,
                 ),
+            )
+        if f"{name}_dgrad" in stages:
+            # D phase: fwd + bwd w.r.t. the discriminator's params
+            def d_loss(p, a, b, fn=fn):
+                rs, gs, _, _ = fn(p, a, b)
+                l, _, _ = discriminator_loss(rs, gs)
+                return l
+
+            rec(
+                f"{name}_dgrad",
+                timed_ms(
+                    lambda i, a, b, params=params, d_loss=d_loss: jax.value_and_grad(
+                        d_loss
+                    )(params, pert(a, i), pert(b, i)),
+                    (y, y_hat),
+                    k1,
+                    k2,
+                ),
+            )
+        if f"{name}_ggrad" in stages:
+            # G phase: fwd + bwd w.r.t. y_hat through adv + FM losses
+            def g_loss(b, a, fn=fn, params=params):
+                rs, gs, fr, fg = fn(params, a, b)
+                adv, _ = generator_loss(gs)
+                return adv + feature_loss(fr, fg)
+
+            rec(
+                f"{name}_ggrad",
+                timed_ms(
+                    lambda i, a, b, g_loss=g_loss: jax.grad(g_loss)(
+                        pert(b, i), pert(a, i)
+                    ),
+                    (y, y_hat),
+                    k1,
+                    k2,
+                ),
+            )
+
+    # ---------------- generator fwd + backward pullback (fixed cotangent)
+    if "gen_vjp" in stages:
+
+        def gen_vjp(i, a, ct):
+            def f(p):
+                out, _ = trainer.module.apply(
+                    {"params": p, "codebook": state.codebook},
+                    pert(a, i),
+                    training=True,
+                    update_ema=False,
+                    rngs={"droppath": jax.random.PRNGKey(0)},
+                    mutable=["codebook"],
+                )
+                return out[0]
+
+            y_out, vjp = jax.vjp(f, state.gen_params)
+            (g,) = vjp(ct + y_out * 1e-9)
+            return jax.tree_util.tree_leaves(g)[0]
+
+        ct = jnp.asarray(
+            rng.standard_normal((args.batch, wave_len)).astype(np.float32)
+        )
+        rec("gen_vjp(fwd+bwd)", timed_ms(gen_vjp, (audio, ct), k1, k2))
+
+    if "mel_grad" in stages:
+        rec(
+            "mel_grad",
+            timed_ms(
+                lambda i, a, b: jax.grad(
+                    lambda bb: mel_l1_loss(
+                        trainer._mel(a.astype(jnp.float32)),
+                        trainer._mel(bb.astype(jnp.float32)),
+                    )
+                )(pert(b, i)),
                 (y, y_hat),
                 k1,
                 k2,
             ),
         )
 
+    if "ema" in stages:
+        # EMA codebook transition alone: quantizer on precomputed latents
+        frames = wave_len // codec_cfg.spec.hop_size
+        lat = jnp.asarray(
+            rng.standard_normal(
+                (args.batch, frames, codec_cfg.quantizer.input_dim)
+            ).astype(np.float32)
+        )
+
+        def ema(i, z):
+            _, mut = trainer.module.apply(
+                {"params": state.gen_params, "codebook": state.codebook},
+                pert(z, i),
+                training=True,
+                update_ema=True,
+                method=lambda m, zz, **kw: m.quantizer(zz, **kw),
+                mutable=["codebook"],
+            )
+            return jax.tree_util.tree_leaves(mut)[0]
+
+        rec("ema_transition", timed_ms(ema, (lat,), k1, k2))
+
     # ---------------- full step (fwd+bwd+both adam updates, EMA transition)
-    # (backwards ≈ 2x the forwards above; the gap between the forward sum
-    # x3 and this number is fusion/overlap + optimizer + EMA + mel losses)
     if "full_step" in stages:
 
         def full(i, a):

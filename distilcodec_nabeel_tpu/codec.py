@@ -198,6 +198,7 @@ class DistilCodec:
         self.variables = variables
 
         self._mesh = None
+        self._codebook_tp = False
         self._build_jits()
         # token map is built lazily: it materializes the full codebook on host
         # (hundreds of MB over the device tunnel) and is only needed by the
@@ -211,7 +212,12 @@ class DistilCodec:
         if self._mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
-            replicated = NamedSharding(self._mesh, P())
+            # with codebook-TP active the variables keep their own placement
+            # (codebook tables sharded along the model axis) — None =
+            # "inherit from argument" in jit in_shardings
+            replicated = (
+                None if self._codebook_tp else NamedSharding(self._mesh, P())
+            )
             batch_sharding = NamedSharding(self._mesh, P("data"))
             codes_sharding = NamedSharding(self._mesh, P(None, "data"))
 
@@ -274,6 +280,46 @@ class DistilCodec:
         self._build_jits()
         return self
 
+    def use_codebook_sharding(self, mesh, axis: str = "model") -> "DistilCodec":
+        """Tensor-parallel VQ search (SURVEY §2.2 TP row): shard the (K, D)
+        codebook tables along ``axis`` of ``mesh``.  Each device scores K/n
+        codes; the global argmin combines per-shard (min, argmin) pairs with
+        one tiny all-gather over ICI — the allreduce-argmin alternative to
+        replicating the 470 MB table (the reference's hot loop is a fully
+        replicated cdist, vector_quantize_pytorch.py:496).  Tie-breaking
+        matches the replicated argmin (lowest global index), so token ids are
+        identical (tests/test_codebook_tp.py).  Pass ``mesh=None`` to
+        deactivate.  Activation is process-wide (it retraces the jitted
+        paths); composable with ``use_data_parallel`` on a mesh that carries
+        both axes.  Returns self."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from .parallel.codebook_shard import set_codebook_sharding
+
+        set_codebook_sharding(mesh, axis)
+        self._codebook_tp = mesh is not None
+        if mesh is not None:
+            # physically distribute the big tables so dispatch doesn't reshard
+            def place(path, leaf):
+                name = getattr(path[-1], "key", str(path[-1]))
+                if name in ("embed", "embed_avg") and leaf.ndim >= 2:
+                    k_dim = leaf.ndim - 2  # (K, D) or (C, K, D)
+                elif name == "cluster_size":
+                    k_dim = leaf.ndim - 1  # (K,) or (C, K)
+                else:
+                    return jax.device_put(leaf, NamedSharding(mesh, P()))
+                spec = [None] * leaf.ndim
+                if leaf.shape[k_dim] % mesh.shape[axis] == 0:
+                    spec[k_dim] = axis
+                return jax.device_put(leaf, NamedSharding(mesh, P(*spec)))
+
+            codebook = jax.tree_util.tree_map_with_path(
+                place, self.variables["codebook"]
+            )
+            self.variables = dict(self.variables, codebook=codebook)
+        self._build_jits()  # retrace so the TP search is picked up
+        return self
+
     def fold_weight_norm(self) -> "DistilCodec":
         """Fold all (g, v) weight-norm pairs into plain weights — the
         reference's inference-export ``remove_weight_norm``
@@ -284,6 +330,54 @@ class DistilCodec:
         self.variables = dict(
             self.variables, params=fold_weight_norm(self.variables["params"])
         )
+        return self
+
+    def cache_int8_codebook(self, enable: bool = True) -> "DistilCodec":
+        """Hoist the int8 codebook requantization out of the encode hot path.
+
+        Computes per-row symmetric int8 tables + squared norms for every
+        codebook ONCE and stores them beside the fp32 ``embed``
+        (``embed_q``/``embed_qscale``/``embed_norm2`` in the codebook
+        collection), then switches the process VQ search mode to
+        ``int8_cached``: int8 MXU scoring (2x the bf16 rate, 4x less HBM
+        traffic) + exact fp32 rescore of the top-16 candidates — identical
+        scores to ``DISTILCODEC_VQ_PRECISION=int8``, none of its per-call
+        requantization cost (the TODO.md "cached pre-quantized int8
+        codebook" item).  Inference-only: re-run after any codebook mutation
+        (``reset_codebook`` refreshes automatically; training EMA updates do
+        NOT — drop the cache before training).  ``enable=False`` removes the
+        tables and restores the default search.  Returns self."""
+        import os
+
+        from .quantization.vq import quantize_codebook_int8
+
+        cb_state = jax.tree_util.tree_map(
+            np.asarray, self.variables["codebook"]
+        )
+        grvq = cb_state["quantizer"]["grvq"]
+        for g in range(self.ngroups):
+            for r in range(self.nresiduals):
+                layer = grvq[f"rvqs_{g}"][f"layers_{r}"]
+                if enable:
+                    eq, se, e2 = quantize_codebook_int8(layer["embed"])
+                    layer["embed_q"] = eq
+                    layer["embed_qscale"] = se
+                    layer["embed_norm2"] = e2
+                else:
+                    for k in ("embed_q", "embed_qscale", "embed_norm2"):
+                        layer.pop(k, None)
+        self.variables = {
+            "params": self.variables["params"],
+            "codebook": jax.tree_util.tree_map(jnp.asarray, cb_state),
+        }
+        if enable:
+            os.environ["DISTILCODEC_VQ_PRECISION"] = "int8_cached"
+        elif (
+            os.environ.get("DISTILCODEC_VQ_PRECISION", "").lower()
+            == "int8_cached"
+        ):
+            del os.environ["DISTILCODEC_VQ_PRECISION"]
+        self._build_jits()  # retrace with/without the cached tables
         return self
 
     @property
@@ -637,6 +731,12 @@ class DistilCodec:
                 layer["embed"], unique_codes[gr_name], top_k=topK
             )
             layer["embed"] = new_cb.astype(np.float32)
+            if "embed_q" in layer:  # keep the int8 cache coherent
+                from .quantization.vq import quantize_codebook_int8
+
+                eq, se, e2 = quantize_codebook_int8(layer["embed"])
+                layer["embed_q"], layer["embed_qscale"] = eq, se
+                layer["embed_norm2"] = e2
         self.variables = {
             "params": self.variables["params"],
             "codebook": jax.tree_util.tree_map(jnp.asarray, cb_state),
@@ -655,7 +755,14 @@ class DistilCodec:
         (distil_codec.py:494-502's keep-last-N pruning included)."""
         from .utils.torch_export import export_codec_checkpoint
 
-        name = re.match(r"(do|g)_\d+", pathlib.Path(filepath).name).group(1)
+        m = re.match(r"(do|g)_\d+", pathlib.Path(filepath).name)
+        if m is None:
+            raise ValueError(
+                f"save_checkpoint: filepath basename {pathlib.Path(filepath).name!r} "
+                "must match the reference naming g_<step>/do_<step> "
+                "(e.g. 'g_00204000') so keep-last-N pruning can scan siblings"
+            )
+        name = m.group(1)
         ckpts = sorted(pathlib.Path(filepath).parent.glob(f"{name}_*"))
         if len(ckpts) > num_ckpt_keep:
             for c in ckpts[:-num_ckpt_keep]:

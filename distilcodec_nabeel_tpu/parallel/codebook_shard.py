@@ -19,18 +19,14 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
-def sharded_nearest_code(
+def nearest_code_tp(
     x: jnp.ndarray, embed: jnp.ndarray, mesh: Mesh, axis: str = "model"
 ) -> jnp.ndarray:
-    """argmin_k ||x - e_k||^2 with ``embed`` sharded along ``axis``.
-
-    x: (N, D) replicated; embed: (K, D) sharded on dim 0.  Returns (N,) int32
-    global code ids.  Tie-breaking: lowest global index wins (matching the
-    unsharded argmin), enforced by lexicographic (min, shard-offset) compare.
-    """
+    """Trace-time TP search: usable inside an outer jitted program (no
+    self-jit).  Semantics identical to :func:`sharded_nearest_code`."""
     n_shards = mesh.shape[axis]
     K = embed.shape[0]
-    assert K % n_shards == 0
+    assert K % n_shards == 0, (K, n_shards)
     k_local = K // n_shards
 
     def shard_fn(x_rep, e_local):
@@ -50,19 +46,48 @@ def sharded_nearest_code(
         winner = jnp.argmin(mins, axis=0)  # first (lowest shard) wins ties
         return jnp.take_along_axis(args, winner[None, :], axis=0)[0]
 
-    fn = jax.jit(
-        jax.shard_map(
-            shard_fn,
-            mesh=mesh,
-            in_specs=(P(), P(axis)),
-            out_specs=P(),
-            # result is replicated by construction (post-all_gather argmin);
-            # the static varying-axes check can't infer that through the
-            # gather/select chain
-            check_vma=False,
-        )
-    )
-    return fn(x, embed)
+    return jax.shard_map(
+        shard_fn,
+        mesh=mesh,
+        in_specs=(P(), P(axis)),
+        out_specs=P(),
+        # result is replicated by construction (post-all_gather argmin);
+        # the static varying-axes check can't infer that through the
+        # gather/select chain
+        check_vma=False,
+    )(x, embed)
+
+
+def sharded_nearest_code(
+    x: jnp.ndarray, embed: jnp.ndarray, mesh: Mesh, axis: str = "model"
+) -> jnp.ndarray:
+    """argmin_k ||x - e_k||^2 with ``embed`` sharded along ``axis``.
+
+    x: (N, D) replicated; embed: (K, D) sharded on dim 0.  Returns (N,) int32
+    global code ids.  Tie-breaking: lowest global index wins (matching the
+    unsharded argmin), enforced by lexicographic (min, shard-offset) compare.
+    """
+    from functools import partial
+
+    return jax.jit(partial(nearest_code_tp, mesh=mesh, axis=axis))(x, embed)
+
+
+# --------------------------------------------------------------------------
+# Process-wide activation: quantization.vq.nearest_code consults this at
+# trace time so the TP search is reachable from the full DistilCodec facade
+# (SURVEY §2.2 TP row) — set via DistilCodec.use_codebook_sharding(mesh).
+_ACTIVE: tuple[Mesh, str] | None = None
+
+
+def set_codebook_sharding(mesh: Mesh | None, axis: str = "model") -> None:
+    """Activate (or, with ``mesh=None``, deactivate) codebook tensor
+    parallelism for every subsequently traced VQ nearest-neighbor search."""
+    global _ACTIVE
+    _ACTIVE = None if mesh is None else (mesh, axis)
+
+
+def active_codebook_sharding() -> tuple[Mesh, str] | None:
+    return _ACTIVE
 
 
 def shard_codebook(embed: jnp.ndarray, mesh: Mesh, axis: str = "model"):

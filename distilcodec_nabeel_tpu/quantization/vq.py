@@ -82,6 +82,12 @@ def vq_search_mode() -> str:
     * ``int8_fast`` — same with k=8, recall 0.95; 11.9 ms, 1/7496 flips.
       2.46x over ``high`` and strictly better than ``default`` (12.6 ms,
       25/7496 flips) on both axes.
+    * ``int8_cached`` — ``int8`` scoring over tables PRE-quantized once at
+      load (``DistilCodec.cache_int8_codebook``; stored beside the fp32
+      codebook as ``embed_q``/``embed_qscale``/``embed_norm2``), hoisting the
+      per-call requantization + norm pass that made plain ``int8`` lose in
+      context.  Identical scores to ``int8`` by construction.  Falls back to
+      per-call quantization where no cache is stored.
     * ``rescored`` — single bf16 score pass + ``approx_min_k`` (k=32) +
       exact fp32 rescore of the candidates.  Exact unless the true argmin
       bf16-ranks below 32 (vs below 1 for ``default``); measured 0/1072
@@ -135,6 +141,63 @@ def pairwise_distance(
     return jnp.sqrt(jnp.clip(d2, 0.0, None))
 
 
+def quantize_codebook_int8(embed) -> tuple:
+    """Per-row symmetric int8 quantization of a (K, D) codebook.
+
+    Returns ``(eq int8 (K, D), se fp32 scales (K, 1), e2 fp32 norms (K,))``
+    — exactly the derived tables ``nearest_code_int8`` computes per call, so
+    caching them (``DistilCodec.cache_int8_codebook``) changes nothing about
+    the scores, only WHEN the requantization work happens (once at load vs
+    every encode — the TODO.md int8 hoisting item)."""
+    import numpy as np  # host-side: computed once at load, not traced
+
+    embed = np.asarray(embed, np.float32)
+    se = np.maximum(
+        np.max(np.abs(embed), axis=-1, keepdims=True) / 127.0, 1e-30
+    ).astype(np.float32)
+    eq = np.round(embed / se).astype(np.int8)
+    e2 = np.sum(np.square(embed), axis=-1, dtype=np.float32)
+    return eq, se, e2
+
+
+def nearest_code_int8_cached(
+    x: jnp.ndarray,
+    embed: jnp.ndarray,
+    eq: jnp.ndarray,
+    se: jnp.ndarray,
+    e2: jnp.ndarray,
+    k: int = 16,
+    recall: float = 0.99,
+) -> jnp.ndarray:
+    """int8-score + exact-fp32-rescore search over a PRE-quantized codebook.
+
+    ``eq``/``se``/``e2`` come from :func:`quantize_codebook_int8` (cached in
+    the codebook collection by ``DistilCodec.cache_int8_codebook``); only the
+    query rows are quantized per call.  The int8 matmul runs at 2x the bf16
+    MXU rate and reads a 4x-smaller table from HBM than the fp32 path."""
+    x = x.astype(jnp.float32)
+    K = eq.shape[0]
+    k = min(k, K)
+    sx = jnp.maximum(
+        jnp.max(jnp.abs(x), axis=-1, keepdims=True) / 127.0, 1e-30
+    )
+    xq = jnp.round(x / sx).astype(jnp.int8)
+    dot = jax.lax.dot_general(
+        xq, eq, (((1,), (1,)), ((), ())), preferred_element_type=jnp.int32
+    )  # (N, K) int32 on the MXU int8 path
+    score = e2[None, :] - 2.0 * (sx * se.T) * dot.astype(jnp.float32)
+    _, idx = jax.lax.approx_min_k(score, k, recall_target=recall)
+    cand = embed[idx].astype(jnp.float32)  # (N, k, D)
+    xy = jnp.einsum(
+        "nkd,nd->nk", cand, x, precision=jax.lax.Precision.HIGHEST
+    )
+    d2 = jnp.sum(jnp.square(cand), axis=-1) - 2.0 * xy
+    best = jnp.argmin(d2, axis=-1)
+    return jnp.take_along_axis(idx, best[:, None], axis=1)[:, 0].astype(
+        jnp.int32
+    )
+
+
 def nearest_code_int8(
     x: jnp.ndarray, embed: jnp.ndarray, k: int = 16, recall: float = 0.99
 ) -> jnp.ndarray:
@@ -147,31 +210,13 @@ def nearest_code_int8(
     int8-ranks within the top-k (measured: 0/7496 misses at k=16 on the
     flagship shape; see vq_search_mode docstring).
     """
-    x = x.astype(jnp.float32)
     embed = embed.astype(jnp.float32)
-    K = embed.shape[0]
-    k = min(k, K)
-    sx = jnp.max(jnp.abs(x), axis=-1, keepdims=True) / 127.0
-    se = jnp.max(jnp.abs(embed), axis=-1, keepdims=True) / 127.0
-    sx = jnp.maximum(sx, 1e-30)
-    se = jnp.maximum(se, 1e-30)
-    xq = jnp.round(x / sx).astype(jnp.int8)
+    se = jnp.maximum(
+        jnp.max(jnp.abs(embed), axis=-1, keepdims=True) / 127.0, 1e-30
+    )
     eq = jnp.round(embed / se).astype(jnp.int8)
-    dot = jax.lax.dot_general(
-        xq, eq, (((1,), (1,)), ((), ())), preferred_element_type=jnp.int32
-    )  # (N, K) int32 on the MXU int8 path
     e2 = jnp.sum(jnp.square(embed), axis=-1)
-    score = e2[None, :] - 2.0 * (sx * se.T) * dot.astype(jnp.float32)
-    _, idx = jax.lax.approx_min_k(score, k, recall_target=recall)
-    cand = embed[idx]  # (N, k, D)
-    xy = jnp.einsum(
-        "nkd,nd->nk", cand, x, precision=jax.lax.Precision.HIGHEST
-    )
-    d2 = jnp.sum(jnp.square(cand), axis=-1) - 2.0 * xy
-    best = jnp.argmin(d2, axis=-1)
-    return jnp.take_along_axis(idx, best[:, None], axis=1)[:, 0].astype(
-        jnp.int32
-    )
+    return nearest_code_int8_cached(x, embed, eq, se, e2, k=k, recall=recall)
 
 
 def nearest_code_rescored(
@@ -213,7 +258,8 @@ def nearest_code_xla(x: jnp.ndarray, embed: jnp.ndarray) -> jnp.ndarray:
     argmax conventions.
     """
     mode = vq_search_mode()
-    if mode == "INT8":
+    if mode in ("INT8", "INT8_CACHED"):
+        # INT8_CACHED without stored tables degrades to per-call quantization
         return nearest_code_int8(x, embed, k=16, recall=0.99)
     if mode == "INT8_FAST":
         return nearest_code_int8(x, embed, k=8, recall=0.95)
@@ -235,11 +281,21 @@ def _l2norm(t: jnp.ndarray, eps: float = 1e-12) -> jnp.ndarray:
 
 
 def nearest_code(x: jnp.ndarray, embed: jnp.ndarray) -> jnp.ndarray:
-    """Dispatch: fused Pallas distance+argmin on TPU (no materialized (N, K)
-    score matrix), plain XLA elsewhere.  Same argmin semantics either way."""
-    from ..ops.vq_argmin import fused_nearest_code, use_pallas_default
+    """Dispatch: codebook-TP allreduce-argmin when activated
+    (``DistilCodec.use_codebook_sharding``), else fused Pallas
+    distance+argmin on TPU (no materialized (N, K) score matrix), else plain
+    XLA.  Same argmin semantics (first-index tie-break) every way."""
+    from ..parallel.codebook_shard import (
+        active_codebook_sharding,
+        nearest_code_tp,
+    )
 
     k, d = embed.shape
+    tp = active_codebook_sharding()
+    if tp is not None and k % tp[0].shape[tp[1]] == 0:
+        return nearest_code_tp(x, embed, tp[0], tp[1])
+    from ..ops.vq_argmin import fused_nearest_code, use_pallas_default
+
     if use_pallas_default() and k % 128 == 0 and d % 128 == 0:
         return fused_nearest_code(x, embed)
     return nearest_code_xla(x, embed)
@@ -647,7 +703,23 @@ class VectorQuantize(nn.Module):
                 )
                 ind = jnp.argmax(sim, axis=-1).astype(jnp.int32)
             elif C == 1:
-                ind = nearest_code(flat[0], embed_c[0])[None]
+                # cached-int8 fast path: pre-quantized tables stored by
+                # DistilCodec.cache_int8_codebook (only valid when embed_c is
+                # the raw stored table — not affine-transformed)
+                if (
+                    vq_search_mode() == "INT8_CACHED"
+                    and not self.affine_param
+                    and self.has_variable("codebook", "embed_q")
+                ):
+                    ind = nearest_code_int8_cached(
+                        flat[0],
+                        embed_c[0],
+                        self.get_variable("codebook", "embed_q"),
+                        self.get_variable("codebook", "embed_qscale"),
+                        self.get_variable("codebook", "embed_norm2"),
+                    )[None]
+                else:
+                    ind = nearest_code(flat[0], embed_c[0])[None]
             elif vq_search_mode() in ("INT8", "INT8_FAST", "RESCORED"):
                 ind = jax.vmap(nearest_code_xla)(flat, embed_c)
             else:

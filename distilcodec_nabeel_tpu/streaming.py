@@ -95,7 +95,19 @@ class StreamingDecoder:
         return np.zeros((0,), np.float32)
 
     def flush(self) -> np.ndarray:
-        """Emit everything pending using the true stream end boundary."""
+        """Emit everything pending using the true stream end boundary.
+
+        Compilation: for streams of at least one window (the streaming use
+        case) ``start = total - window`` so the flush call has the SAME shape
+        as every ``push`` window — it reuses the already-compiled program,
+        zero extra compiles (regression-tested in
+        tests/test_streaming.py::test_flush_reuses_push_program).  Only
+        sub-window streams (< chunk + 2*halo code frames) compile once per
+        distinct stream length; jit caches those per process.  The end
+        boundary must sit at the true last frame (the generator's conv
+        zero-padding is the stream-end condition), so padding the tail to a
+        fixed shape would change the final samples — exactness wins here.
+        For one-shot short sequences prefer ``codec.decode_from_codes``."""
         total = self._frames.shape[0]
         if self._emitted >= total:
             return np.zeros((0,), np.float32)
@@ -248,12 +260,21 @@ class StreamingEncoder:
         padding.  Total emitted over the stream = len(samples) // (hop · p)
         (the reference's n_hop_len bookkeeping, distil_codec.py:119).
 
-        The flush window is VARIABLE length, ending exactly at the stream's
-        last real mel frame — the full-sequence encoder zero-pads its conv
-        stacks there, so ending the computation at the same boundary (rather
-        than padding the window with zero samples, which would produce
-        non-zero log-mel frames past the end) keeps flush == full encode even
-        for streams shorter than one window."""
+        The flush window ends exactly at the stream's last real mel frame —
+        the full-sequence encoder zero-pads its conv stacks there, so ending
+        the computation at the same boundary (rather than padding the window
+        with zero samples, which would produce non-zero log-mel frames past
+        the end) keeps flush == full encode even for streams shorter than one
+        window.
+
+        Compilation: for streams of at least one window and p=1 (student
+        mode) the flush window is ``window`` mel frames — the SAME shape as
+        every ``push`` window, so flush reuses the compiled push program with
+        zero extra compiles (tests/test_streaming.py::
+        test_flush_reuses_push_program).  p>=2 adds at most one extra shape
+        (the t_mel % p remainder frame).  Only sub-window streams compile
+        once per distinct length; for one-shot short clips prefer
+        ``codec.encode``."""
         s = self._samples
         t_mel = len(s) // self.hop
         total = t_mel // self.p

@@ -129,6 +129,20 @@ class Trainer:
 
     def __post_init__(self):
         self.module = DistilCodecModule(self.codec_cfg)
+        from ..dsp.mel import LogMelSpectrogram
+
+        spec = self.codec_cfg.spec
+        # plain functional transform (no params) — used by the G loss for the
+        # mel-reconstruction L1 without round-tripping through module.apply
+        self._mel = LogMelSpectrogram(
+            sample_rate=spec.sampling_rate,
+            n_fft=spec.n_fft,
+            win_length=spec.win_size,
+            hop_length=spec.hop_size,
+            n_mels=spec.num_mels,
+            f_min=spec.fmin,
+            f_max=spec.fmax,
+        )
         ddt = (self.disc_dtype or "").replace("bf16", "bfloat16")
         self.disc = Discriminators(
             self.codec_cfg, dtype=jnp.dtype(ddt) if ddt else None
@@ -209,22 +223,44 @@ class Trainer:
         return y_hat, result, mutated["codebook"]
 
     def train_step(self, state: CodecTrainState, audio: jnp.ndarray, rng: jax.Array):
-        """One GAN step on a (B, segment) audio batch.  Returns (state, metrics)."""
+        """One GAN step on a (B, segment) audio batch.  Returns (state, metrics).
+
+        Torch-lineage single-forward structure (SURVEY §3.4; the reference's
+        HiFiGAN ancestry computes one ``y_g_hat`` and reuses it for both the
+        D and G losses): the generator forward runs ONCE under ``jax.vjp``;
+        its ``stop_gradient``'d output feeds the D update, then the G loss is
+        differentiated w.r.t. the forward's *outputs* and those cotangents are
+        pulled back through the saved residuals — no second encoder+VQ+decoder
+        forward, and one shared droppath draw so D trains against exactly the
+        sample G is optimized on.
+        """
         tcfg = self.train_cfg
-        rng_d, rng_g, rng_step = jax.random.split(rng, 3)
+        rng_fwd, rng_step = jax.random.split(rng)
         wave_len = self._gen_len(audio.shape[-1])
         y = audio[:, :wave_len]
 
-        # ---------------- D step (generator output detached; no EMA update)
-        y_hat_ng, _, _ = self._gen_forward(
-            jax.lax.stop_gradient(state.gen_params),
-            state.codebook,
-            audio,
-            {"droppath": rng_d},
-            update_ema=False,
-        )
-        y_hat_ng = jax.lax.stop_gradient(y_hat_ng)
+        # -------------- ONE generator forward (EMA codebook transition here)
+        def gen_fwd(gen_params):
+            y_hat, result, new_codebook = self._gen_forward(
+                gen_params,
+                state.codebook,
+                audio,
+                {"droppath": rng_fwd},
+                update_ema=True,
+            )
+            diff = (
+                y_hat,
+                result.commitment_loss,
+                result.codebook_diversity_loss,
+            )
+            return diff, (result.codes, new_codebook)
 
+        (y_hat, commit, div), gen_vjp, (codes, new_codebook) = jax.vjp(
+            gen_fwd, state.gen_params, has_aux=True
+        )
+        y_hat_ng = jax.lax.stop_gradient(y_hat)
+
+        # ---------------- D step (generator output detached)
         def _disc_train_apply(disc_params, a, b):
             return self.disc.apply(
                 {"params": disc_params, "spectral": state.spectral},
@@ -256,11 +292,11 @@ class Trainer:
         )
         new_disc_params = optax.apply_updates(state.disc_params, d_updates)
 
-        # ---------------- G step (fresh forward; EMA update happens here)
-        def g_loss_fn(gen_params):
-            y_hat, result, new_codebook = self._gen_forward(
-                gen_params, state.codebook, audio, {"droppath": rng_g}, update_ema=True
-            )
+        # ------- G step: loss on the shared forward's outputs, grads pulled
+        # back through gen_vjp (one generator backward, zero extra forwards)
+        mel_real = self._mel(y)
+
+        def g_loss_fn(y_hat_in, commit_in, div_in):
             _disc_eval_apply = lambda a, b: self.disc.apply(
                 {"params": new_disc_params, "spectral": new_spectral},
                 a,
@@ -269,7 +305,7 @@ class Trainer:
             )
             if self.remat_discriminators:
                 _disc_eval_apply = jax.checkpoint(_disc_eval_apply)
-            outs = _disc_eval_apply(y, y_hat)
+            outs = _disc_eval_apply(y, y_hat_in)
             adv = 0.0
             fm = 0.0
             for name, pack in outs.items():
@@ -279,36 +315,27 @@ class Trainer:
                 adv += l_adv
                 fm += feature_loss(fr, fg)
 
-            mel_real = self.module.apply(
-                {"params": gen_params, "codebook": state.codebook},
-                y,
-                method="mel",
-            )
-            mel_gen = self.module.apply(
-                {"params": gen_params, "codebook": state.codebook},
-                y_hat,
-                method="mel",
-            )
-            mel_loss = mel_l1_loss(mel_real, mel_gen)
+            mel_loss = mel_l1_loss(mel_real, self._mel(y_hat_in))
 
             vq_loss = (
-                tcfg.codebook_loss_lambda * result.codebook_diversity_loss
-                + tcfg.commitment_loss_lambda * result.commitment_loss
+                tcfg.codebook_loss_lambda * div_in
+                + tcfg.commitment_loss_lambda * commit_in
             )
             total = adv + fm + self.mel_loss_weight * mel_loss + vq_loss
             aux = {
                 "g_loss/adv": adv,
                 "g_loss/feature_matching": fm,
                 "g_loss/mel_l1": mel_loss,
-                "g_loss/vq_commitment": result.commitment_loss,
-                "g_loss/vq_diversity": result.codebook_diversity_loss,
+                "g_loss/vq_commitment": commit_in,
+                "g_loss/vq_diversity": div_in,
                 "g_loss/total": total,
             }
-            return total, (aux, new_codebook, result.codes)
+            return total, aux
 
-        (g_loss, (g_parts, new_codebook, codes)), g_grads = jax.value_and_grad(
-            g_loss_fn, has_aux=True
-        )(state.gen_params)
+        (g_loss, g_parts), out_cotangents = jax.value_and_grad(
+            g_loss_fn, argnums=(0, 1, 2), has_aux=True
+        )(y_hat, commit, div)
+        (g_grads,) = gen_vjp(out_cotangents)
         g_updates, new_g_opt = self.gen_tx.update(
             g_grads, state.gen_opt_state, state.gen_params
         )

@@ -63,6 +63,30 @@ def test_streaming_encoder_matches_full_encode(codec, rng, feed_size):
     np.testing.assert_array_equal(streamed, full)
 
 
+def test_flush_reuses_push_program(codec, rng):
+    """For streams >= one window, flush's window has the same shape as every
+    push window, so it hits the SAME jit cache entry — no stream-end
+    recompile (streaming.py flush docstrings)."""
+    hop = MINI_CONFIG["spec_transform"]["hop_size"]
+
+    enc = StreamingEncoder(codec, chunk_frames=16, halo_frames=16)
+    L = hop * (enc.window + 40) + 5  # comfortably past one window
+    audio = (rng.standard_normal(L) * 0.1).astype(np.float32)
+    enc.push(audio)
+    n_compiles = enc._encode._cache_size()
+    assert n_compiles == 1
+    enc.flush()
+    assert enc._encode._cache_size() == n_compiles  # flush reused the program
+
+    dec = StreamingDecoder(codec, chunk_frames=16, halo_frames=16)
+    tokens = rng.integers(0, 64, size=dec.window + 40).astype(int).tolist()
+    dec.push(tokens)
+    n_compiles = dec._decode._cache_size()
+    assert n_compiles == 1
+    dec.flush()
+    assert dec._decode._cache_size() == n_compiles
+
+
 def test_streaming_encoder_roundtrip_with_decoder(codec, rng):
     """Mic -> StreamingEncoder -> StreamingDecoder pipeline is coherent."""
     hop = MINI_CONFIG["spec_transform"]["hop_size"]
