@@ -73,11 +73,49 @@ def main(argv=None):
     pt.add_argument("--max-steps", type=int, default=None)
     pt.add_argument("--no-mesh", action="store_true")
 
+    pg = sub.add_parser(
+        "gate",
+        help="real-checkpoint parity + quality gate (see parity_gate.py)",
+    )
+    pg.add_argument("config")
+    pg.add_argument("ckpt", nargs="?", default=None)
+    pg.add_argument("--random-init", action="store_true",
+                    help="dry run: random-weight checkpoint through the "
+                         "identical machinery")
+    pg.add_argument("--audio-dir",
+                    default="/root/reference/data/org_audios",
+                    help="evaluation audio set (LibriSpeech-test-clean for "
+                         "the published-baseline comparison)")
+    pg.add_argument("--ref-pairs", nargs=2, metavar=("ORG_DIR", "GEN_DIR"),
+                    default=None,
+                    help="gate quality against the reference's own "
+                         "reconstructions of the same originals")
+    pg.add_argument("--max-files", type=int, default=None)
+    pg.add_argument("--parity-files", type=int, default=8)
+    pg.add_argument("--min-agreement", type=float, default=0.999)
+
     args = ap.parse_args(argv)
 
     from .utils.common import enable_compilation_cache
 
     enable_compilation_cache()
+
+    if args.cmd == "gate":
+        from .parity_gate import run_gate
+
+        report = run_gate(
+            args.config,
+            args.ckpt,
+            args.audio_dir,
+            ref_pairs=tuple(args.ref_pairs) if args.ref_pairs else None,
+            max_files=args.max_files,
+            parity_files=args.parity_files,
+            min_agreement=args.min_agreement,
+            random_init=args.random_init,
+        )
+        json.dump(report, sys.stdout, indent=2, default=float)
+        print()
+        raise SystemExit(0 if report["pass"] or report["dry_run"] else 1)
 
     if args.cmd == "train":
         from .config import load_model_config, load_train_config

@@ -106,6 +106,43 @@ def test_short_training_loop(wav_dir, tmp_path):
     assert os.path.exists(tmp_path / "ckpt" / "state_00000002")
 
 
+def test_run_validation_streams_full_list(wav_dir):
+    """Production-scale validation (VERDICT r1 item 6): the full file list
+    streams through ONE compiled eval shape (wrap-padded final batch), and
+    the metrics cover every file — not a 4-batch cap."""
+    import jax
+
+    from distilcodec_nabeel_tpu.training.loop import run_validation
+    from distilcodec_nabeel_tpu.training.train import Trainer
+
+    import dataclasses
+
+    codec_cfg = mini_codec_cfg()
+    codec_cfg = dataclasses.replace(
+        codec_cfg, spec=dataclasses.replace(codec_cfg.spec, segment_size=2048)
+    )
+    trainer = Trainer(codec_cfg, mini_train_cfg(), steps_per_epoch=10)
+    state = trainer.init_state(jax.random.PRNGKey(0), segment_len=2048)
+
+    # 10 files, batch 4 -> wrap-pads to 12 = 3 full batches, one shape
+    files = [
+        str(wav_dir / sub / f"clip{i}.wav")
+        for sub, n in (("stage1", 6), ("stage2", 4))
+        for i in range(n)
+    ]
+    eval_fn = jax.jit(trainer.eval_step)
+    metrics = run_validation(
+        trainer, state, files, batch_size=4, eval_fn=eval_fn
+    )
+    assert metrics["val/num_files"] == 10
+    assert np.isfinite(metrics["val/mel_l1_total"])
+    assert 0 <= metrics["val/codebook_usage"] <= 1
+    assert eval_fn._cache_size() == 1  # single compiled shape, no recompiles
+
+    # empty list degrades cleanly
+    assert run_validation(trainer, state, [], batch_size=4) == {}
+
+
 def test_shard_files_disjoint_and_complete():
     from distilcodec_nabeel_tpu.training.dataset import shard_files
 
