@@ -31,7 +31,20 @@ _normal001 = nn.initializers.normal(stddev=0.01)
 
 
 class WNConv2d(nn.Module):
-    """Weight-normed Conv2d over (B, H, W, C), torch padding semantics."""
+    """Weight-normed Conv2d over (B, H, W, C), torch padding semantics.
+
+    ``freq_pack=p`` lowers the conv to an EXACT space-to-depth form along W
+    (frequency): p consecutive W positions ride in the channel (lane) dim, the
+    true (kh, kw, Cin, Cout) kernel is scattered with structural zeros into a
+    (kh, Bk, q*Cin, p*Cout) packed kernel (q = p*stride_w), and the output is
+    unpacked/cropped back — identical values and gradients.  Why: the MS-STFT
+    convs are 32-channel, so in NHWC only 32 of the TPU's 128 lanes carry
+    data; XLA pads activation/GRADIENT buffers 4x on the lane dim (measured
+    5.1x total tile padding at batch 19x72000, the last OOM offender —
+    TODO.md).  Packing p=4 fills the lanes for both the forward and its
+    gradient convs.  Requires dilation_w == 1 (true for every MS-STFT conv:
+    dilation is time-only, msstftd.py:107-210).
+    """
 
     features: int
     kernel_size: tuple
@@ -39,6 +52,7 @@ class WNConv2d(nn.Module):
     padding: tuple = (0, 0)
     dilation: tuple = (1, 1)
     use_weight_norm: bool = True
+    freq_pack: int = 0
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -63,6 +77,10 @@ class WNConv2d(nn.Module):
         # accumulation is only forced when the input itself is fp32
         dtype = x.dtype
         pref = jnp.float32 if dtype == jnp.float32 else dtype
+        if self.freq_pack > 1 and self.dilation[1] == 1:
+            return self._freq_packed(
+                x, kernel.astype(dtype), b, pref
+            )
         y = jax.lax.conv_general_dilated(
             x,
             kernel.astype(dtype),
@@ -72,6 +90,44 @@ class WNConv2d(nn.Module):
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
             preferred_element_type=pref,
         )
+        return y + b.astype(y.dtype)
+
+    def _freq_packed(self, x, kernel, b, pref):
+        """Exact W-packed lowering (see class docstring)."""
+        p = self.freq_pack
+        kh, kw, cin, cout = kernel.shape
+        s = self.strides[1]
+        q = p * s
+        B, H, W, C = x.shape
+        pad = self.padding[1]
+        J = (W + 2 * pad - kw) // s + 1  # true output width
+        Bk = -(-((p - 1) * s + kw) // q)  # packed kernel width (blocks)
+        Bout = -(-J // p)  # packed output width (blocks)
+        need = (Bout - 1 + Bk) * q  # input width the packed conv reads
+        xpad = jnp.pad(
+            x, ((0, 0), (0, 0), (pad, max(0, need - W - pad)), (0, 0))
+        )[:, :, :need]
+        xp = xpad.reshape(B, H, need // q, q * C)
+        # scatter the true taps into the packed kernel (structural zeros
+        # elsewhere); gradients flow back through the scatter to `kernel`
+        wp = jnp.zeros((kh, Bk, q * C, p * cout), kernel.dtype)
+        for o in range(p):
+            for u in range(kw):
+                gi = o * s + u
+                blk, r = gi // q, gi % q
+                wp = wp.at[:, blk, r * C : (r + 1) * C, o * cout : (o + 1) * cout].set(
+                    kernel[:, u]
+                )
+        y = jax.lax.conv_general_dilated(
+            xp,
+            wp,
+            window_strides=(self.strides[0], 1),
+            padding=[(self.padding[0], self.padding[0]), (0, 0)],
+            rhs_dilation=(self.dilation[0], 1),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=pref,
+        )  # (B, H', Bout, p*cout)
+        y = y.reshape(B, y.shape[1], Bout * p, cout)[:, :, :J]
         return y + b.astype(y.dtype)
 
 

@@ -50,6 +50,12 @@ class DiscriminatorSTFT(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray):
         """x: (B, T) waveform -> (logits (B, H, W, 1), fmaps)."""
+        import os
+
+        # exact freq->lane packing of every conv (see WNConv2d._freq_packed):
+        # the 32-channel convs otherwise use 32 of 128 lanes and their
+        # gradient buffers tile-pad ~5x (the batch-19 OOM offender, TODO.md)
+        pack = int(os.environ.get("DISTILCODEC_MSSTFT_PACK", "0") or 0)
         # STFT always in fp32 (small; the reference's torchaudio Spectrogram
         # runs fp32 too); only the conv stack follows the input dtype
         re, im = stft_complex(
@@ -67,6 +73,7 @@ class DiscriminatorSTFT(nn.Module):
             self.kernel_size,
             padding=_get_2d_padding(self.kernel_size),
             use_weight_norm=False,
+            freq_pack=pack,
             name="convs_0",
         )(z)
         z = nn.leaky_relu(z, 0.2)
@@ -82,6 +89,7 @@ class DiscriminatorSTFT(nn.Module):
                 strides=self.stride,
                 dilation=(dilation, 1),
                 padding=_get_2d_padding(self.kernel_size, (dilation, 1)),
+                freq_pack=pack,
                 name=f"convs_{i + 1}",
             )(z)
             z = nn.leaky_relu(z, 0.2)
@@ -96,6 +104,7 @@ class DiscriminatorSTFT(nn.Module):
             out_chs,
             (k0, k0),
             padding=_get_2d_padding((k0, k0)),
+            freq_pack=pack,
             name=f"convs_{len(self.dilations) + 1}",
         )(z)
         z = nn.leaky_relu(z, 0.2)
@@ -104,6 +113,7 @@ class DiscriminatorSTFT(nn.Module):
             self.out_channels,
             (k0, k0),
             padding=_get_2d_padding((k0, k0)),
+            freq_pack=pack,
             name="conv_post",
         )(z)
         return z, fmap

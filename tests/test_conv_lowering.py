@@ -227,3 +227,80 @@ def test_grouped_dense_lowering_matches(rng, monkeypatch):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4)
     monkeypatch.delenv("DISTILCODEC_GROUPED_CONV")
     jax.clear_caches()
+
+
+def test_msstft_freq_pack_matches(rng, monkeypatch):
+    """DISTILCODEC_MSSTFT_PACK=4: exact freq->lane space-to-depth lowering of
+    every MS-STFT conv — full discriminator logits+fmaps AND parameter
+    gradients equal the unpacked path."""
+    import jax
+    import jax.numpy as jnp
+
+    from distilcodec_nabeel_tpu.models.discriminators import WNConv2d
+    from distilcodec_nabeel_tpu.models.msstftd import MultiScaleSTFTDiscriminator
+
+    # conv-level identity across the shapes MS-STFT uses: (kw 9 s 2), (kw 9
+    # s 1), (kw 3 s 1), incl. time dilation and a non-divisible W
+    x = jnp.asarray(rng.standard_normal((2, 12, 41, 6)).astype(np.float32))
+    for kw, s, dil in ((9, 2, 1), (9, 1, 2), (3, 1, 4)):
+        ref_conv = WNConv2d(
+            8, (3, kw), strides=(1, s), padding=(dil, (kw - 1) // 2),
+            dilation=(dil, 1),
+        )
+        v = ref_conv.init(jax.random.PRNGKey(0), x)
+        pk_conv = WNConv2d(
+            8, (3, kw), strides=(1, s), padding=(dil, (kw - 1) // 2),
+            dilation=(dil, 1), freq_pack=4,
+        )
+        y_ref = ref_conv.apply(v, x)
+        y_pk = pk_conv.apply(v, x)
+        assert y_pk.shape == y_ref.shape, (kw, s, dil)
+        np.testing.assert_allclose(
+            np.asarray(y_pk), np.asarray(y_ref), atol=2e-5
+        )
+
+        def loss(vv, conv):
+            return jnp.sum(jnp.square(conv.apply(vv, x)))
+
+        g_ref = jax.grad(loss)(v, ref_conv)
+        g_pk = jax.grad(loss)(v, pk_conv)
+        for a, b in zip(
+            jax.tree_util.tree_leaves(g_pk), jax.tree_util.tree_leaves(g_ref)
+        ):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol=2e-4
+            )
+
+    # full-discriminator identity (small ffts for speed)
+    msstft = MultiScaleSTFTDiscriminator(
+        filters=8, n_ffts=(256, 128), hop_lengths=(64, 32),
+        win_lengths=(256, 128),
+    )
+    audio = jnp.asarray(rng.standard_normal((2, 4096)).astype(np.float32) * 0.1)
+    variables = msstft.init(jax.random.PRNGKey(1), audio)
+
+    def dloss(v, a):
+        logits, fmaps = msstft.apply(v, a)
+        return sum(jnp.mean(jnp.square(1.0 - l)) for l in logits) + sum(
+            jnp.mean(jnp.abs(f)) for fm in fmaps for f in fm
+        )
+
+    y_ref, f_ref = msstft.apply(variables, audio)
+    g_ref = jax.grad(dloss)(variables, audio)
+    monkeypatch.setenv("DISTILCODEC_MSSTFT_PACK", "4")
+    jax.clear_caches()
+    y_pk, f_pk = msstft.apply(variables, audio)
+    g_pk = jax.grad(dloss)(variables, audio)
+    for a, b in zip(y_pk, y_ref):
+        assert a.shape == b.shape
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-5)
+    for fa, fb in zip(f_pk, f_ref):
+        for a, b in zip(fa, fb):
+            assert a.shape == b.shape
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol=2e-5
+            )
+    for a, b in zip(
+        jax.tree_util.tree_leaves(g_pk), jax.tree_util.tree_leaves(g_ref)
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4)
