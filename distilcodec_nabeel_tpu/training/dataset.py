@@ -209,7 +209,9 @@ class AudioCropDataset:
         hop_size: int = 256,
     ):
         self.audio_files = list(training_files)
+        self.seed = seed
         self._rng = random.Random(seed)
+        self._epoch = 0
         if shuffle:
             self._rng.shuffle(self.audio_files)
         self.segment_size = segment_size
@@ -224,6 +226,17 @@ class AudioCropDataset:
 
     def __len__(self):
         return len(self.audio_files)
+
+    def set_epoch(self, epoch: int) -> None:
+        """Crop offsets are a pure function of (seed, epoch, index) — the
+        record-level determinism that makes mid-epoch resume exact (see
+        PrefetchLoader.set_state)."""
+        self._epoch = int(epoch)
+
+    def _item_rng(self, index: int) -> random.Random:
+        return random.Random(
+            (self.seed * 1_000_003 + self._epoch) * 1_000_003 + index
+        )
 
     def _load(self, filename: str) -> np.ndarray:
         if self._cache_ref_count == 0:
@@ -250,7 +263,7 @@ class AudioCropDataset:
         if not self.fine_tuning:
             if self.split:
                 if audio.shape[-1] >= self.segment_size:
-                    start = self._rng.randint(
+                    start = self._item_rng(index).randint(
                         0, audio.shape[-1] - self.segment_size
                     )
                     audio = audio[start : start + self.segment_size]
@@ -275,7 +288,7 @@ class AudioCropDataset:
         if self.split:
             frames_per_seg = math.ceil(self.segment_size / self.hop_size)
             if audio.shape[-1] >= self.segment_size:
-                mel_start = self._rng.randint(
+                mel_start = self._item_rng(index).randint(
                     0, max(mel.shape[-1] - frames_per_seg - 1, 0)
                 )
                 mel = mel[:, mel_start : mel_start + frames_per_seg]
@@ -318,19 +331,31 @@ class NativeCropLoader:
         self.seed = seed
         self.drop_last = drop_last
         self._epoch = 0
+        self._next_batch = 0
 
     def __len__(self):
         n = len(self.files)
         return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
 
+    @property
+    def state(self) -> dict:
+        """Record-level position (see PrefetchLoader.state)."""
+        return {"epoch": self._epoch, "batch": self._next_batch}
+
+    def set_state(self, epoch: int, batch: int = 0) -> None:
+        """Fast-forward to (epoch, batch) — exact: batch order is a pure
+        function of (seed, epoch) and crop seeds of (seed, epoch, batch
+        index), so skipping is index arithmetic, no data is read."""
+        self._epoch = int(epoch)
+        self._next_batch = int(batch)
+
     def __iter__(self):
         from .. import native
 
         order = list(range(len(self.files)))
-        if self.shuffle:
-            random.Random(self.seed + self._epoch).shuffle(order)
         epoch = self._epoch
-        self._epoch += 1
+        if self.shuffle:
+            random.Random(self.seed + epoch).shuffle(order)
         batches = [
             [self.files[j] for j in order[i : i + self.batch_size]]
             for i in range(0, len(order), self.batch_size)
@@ -343,19 +368,25 @@ class NativeCropLoader:
                 batches[i],
                 self.segment_size,
                 self.sampling_rate,
+                # crop seed keyed to the ABSOLUTE batch index so resumed and
+                # uninterrupted runs see identical data
                 seed=(self.seed * 1_000_003 + epoch) * 1_000_003 + i,
                 n_threads=self.num_workers,
             )
             return out
 
+        start = self._next_batch
         with ThreadPoolExecutor(1) as pool:  # C++ releases the GIL per batch
             futures = []
-            idx = 0
+            idx = start
             while idx < len(batches) or futures:
                 while idx < len(batches) and len(futures) < 2:
                     futures.append(pool.submit(produce, idx))
                     idx += 1
                 yield futures.pop(0).result()
+                self._next_batch += 1
+        self._epoch = epoch + 1
+        self._next_batch = 0
 
 
 def make_loader(
@@ -403,7 +434,16 @@ def make_loader(
 
 class PrefetchLoader:
     """Thread-pooled batcher: yields (B, segment) float32 arrays, overlapping
-    file IO with device compute (num_workers, train_config.json:66)."""
+    file IO with device compute (num_workers, train_config.json:66).
+
+    Deterministic record-level resume (the grain/tf.data property SURVEY §7.7
+    asks for): batch order is a pure function of (seed, epoch) and every crop
+    offset of (seed, epoch, item index), so the stream position is fully
+    described by two integers.  ``set_state(epoch, batch)`` fast-forwards by
+    index arithmetic — no data is read or skipped-through — and the resumed
+    stream is bit-identical to the uninterrupted one.  One train step
+    consumes one batch, so the training loop resumes with
+    ``set_state(*divmod(step, len(loader)))``."""
 
     def __init__(
         self,
@@ -421,16 +461,29 @@ class PrefetchLoader:
         self.seed = seed
         self.drop_last = drop_last
         self._epoch = 0
+        self._next_batch = 0
 
     def __len__(self):
         n = len(self.dataset)
         return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
 
+    @property
+    def state(self) -> dict:
+        """Record-level position: the next batch to be yielded."""
+        return {"epoch": self._epoch, "batch": self._next_batch}
+
+    def set_state(self, epoch: int, batch: int = 0) -> None:
+        """Fast-forward to (epoch, batch); see class docstring."""
+        self._epoch = int(epoch)
+        self._next_batch = int(batch)
+
     def __iter__(self):
         order = list(range(len(self.dataset)))
+        epoch = self._epoch
         if self.shuffle:
-            random.Random(self.seed + self._epoch).shuffle(order)
-        self._epoch += 1
+            random.Random(self.seed + epoch).shuffle(order)
+        if hasattr(self.dataset, "set_epoch"):
+            self.dataset.set_epoch(epoch)
         with ThreadPoolExecutor(self.num_workers) as pool:
             batches = [
                 order[i : i + self.batch_size]
@@ -438,9 +491,9 @@ class PrefetchLoader:
             ]
             if self.drop_last:
                 batches = [b for b in batches if len(b) == self.batch_size]
-            # prefetch two batches ahead
+            # prefetch two batches ahead, starting from the resume cursor
             futures = []
-            idx = 0
+            idx = self._next_batch
 
             def submit(batch_ids):
                 return [pool.submit(self.dataset.__getitem__, i) for i in batch_ids]
@@ -458,3 +511,6 @@ class PrefetchLoader:
                     )
                 else:
                     yield np.stack(items)
+                self._next_batch += 1
+        self._epoch = epoch + 1
+        self._next_batch = 0

@@ -209,7 +209,19 @@ def run_training(
     restored = ckpt_utils.restore_train_state(save_path, state)
     if restored is not None:
         state = restored
-        print_rank_0(f"Resumed from step {int(state.step)}")
+        # deterministic record-level data resume: one step consumes one
+        # batch, so the stream position is divmod(step, batches-per-epoch);
+        # the fast-forward is index arithmetic (PrefetchLoader.set_state) and
+        # the resumed data stream is bit-identical to an uninterrupted run
+        # (assumes the same file list / batch size across the restart)
+        if hasattr(loader, "set_state"):
+            ep, bi = divmod(int(state.step), steps_per_epoch)
+            loader.set_state(ep, bi)
+        print_rank_0(
+            f"Resumed from step {int(state.step)} "
+            f"(data stream at epoch {int(state.step) // steps_per_epoch}, "
+            f"batch {int(state.step) % steps_per_epoch})"
+        )
 
     mesh = make_data_mesh() if use_mesh else None
     # steady-state loop never touches the previous state again -> donate it
@@ -232,7 +244,7 @@ def run_training(
     done = False
     shutdown = GracefulShutdown()
     with shutdown:
-        for epoch in range(train_cfg.training_epochs):
+        for epoch in range(step // steps_per_epoch, train_cfg.training_epochs):
             if done:
                 break
             for batch in loader:

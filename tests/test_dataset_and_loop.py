@@ -211,3 +211,49 @@ def test_graceful_shutdown_checkpoints(wav_dir, tmp_path):
     step = int(state.step)
     assert 1 <= step < 100  # stopped early, not by epochs running out
     assert _os.path.exists(tmp_path / "ckpt" / f"state_{step:08d}")
+
+
+def test_deterministic_resume_record_level(wav_dir):
+    """Record-level deterministic resume (SURVEY §7.7 grain-grade property):
+    a loader fast-forwarded to (epoch, batch) yields bit-identical batches to
+    the uninterrupted stream from that point — crops included — for both the
+    Python and native loaders."""
+    from distilcodec_nabeel_tpu.training.dataset import make_loader
+
+    files = [
+        str(wav_dir / sub / f"clip{i}.wav")
+        for sub, n in (("stage1", 6), ("stage2", 4))
+        for i in range(n)
+    ]
+
+    def collect(loader, n):
+        out = []
+        while len(out) < n:
+            for b in loader:
+                out.append(b)
+                if len(out) >= n:
+                    break
+        return out
+
+    loader_a = make_loader(files, batch_size=2, segment_size=1024,
+                           sampling_rate=24000, num_workers=2, seed=7)
+    full = collect(loader_a, 12)  # 5 batches/epoch -> spans 3 epochs
+
+    loader_b = make_loader(files, batch_size=2, segment_size=1024,
+                           sampling_rate=24000, num_workers=2, seed=7)
+    assert loader_b.state == {"epoch": 0, "batch": 0}
+    loader_b.set_state(1, 2)  # resume mid-epoch-1 = stream position 7
+    resumed = collect(loader_b, 5)
+    for a, b in zip(full[7:], resumed):
+        np.testing.assert_array_equal(a, b)
+
+    # pure-function crops: same (epoch, index) -> same crop, twice
+    from distilcodec_nabeel_tpu.training.dataset import AudioCropDataset
+
+    ds = AudioCropDataset(files, segment_size=1024, sampling_rate=24000,
+                          seed=7, n_cache_reuse=0)
+    ds.set_epoch(3)
+    a1, a2 = ds[4], ds[4]
+    np.testing.assert_array_equal(a1, a2)
+    ds.set_epoch(4)  # different epoch -> (almost surely) different crop
+    assert not np.array_equal(ds[4], a1)
