@@ -219,6 +219,16 @@ class TrainConfig:
     # "bfloat16" halves disc activation memory and doubles MXU rate
     # (DESIGN.md "Training memory"; Trainer.disc_dtype)
     disc_dtype: str | None = None
+    # exact conv lowerings for training memory/lane utilization (both are
+    # value- and gradient-exact; see DESIGN.md "Training memory"):
+    # grouped_conv="dense" lowers the MSD grouped convs to masked
+    # block-diagonal dense (kills the batch-minor padded gradient buffers);
+    # msstft_freq_pack=4 packs MS-STFT frequencies into lanes (the
+    # 32-channel convs otherwise tile-pad their gradients ~5x).  Trainer
+    # exports these as the DISTILCODEC_GROUPED_CONV / DISTILCODEC_MSSTFT_PACK
+    # trace-time switches.
+    grouped_conv: str | None = None
+    msstft_freq_pack: int = 0
 
     @classmethod
     def from_dict(cls, d: dict) -> "TrainConfig":

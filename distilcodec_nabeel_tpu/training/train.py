@@ -128,6 +128,19 @@ class Trainer:
     remat_discriminators: bool = False
 
     def __post_init__(self):
+        import os
+
+        # export the config's exact-lowering switches (read at trace time by
+        # the conv modules) so the production recipe is one config file,
+        # not a shell-environment incantation
+        if self.train_cfg.grouped_conv:
+            os.environ["DISTILCODEC_GROUPED_CONV"] = self.train_cfg.grouped_conv
+        if self.train_cfg.msstft_freq_pack:
+            os.environ["DISTILCODEC_MSSTFT_PACK"] = str(
+                self.train_cfg.msstft_freq_pack
+            )
+        if self.disc_dtype is None:
+            self.disc_dtype = self.train_cfg.disc_dtype
         self.module = DistilCodecModule(self.codec_cfg)
         from ..dsp.mel import LogMelSpectrogram
 
