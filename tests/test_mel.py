@@ -125,3 +125,44 @@ def test_logmel_matches_torch_reference_pipeline(rng):
     m = LogMelSpectrogram(f_max=12000.0)
     mel = np.asarray(m(jnp.asarray(y)))
     np.testing.assert_allclose(mel, mel_ref, rtol=1e-3, atol=2e-3)
+
+
+def test_frame_signal_custom_vjp_matches_autodiff(rng):
+    """The overlap-add adjoint (custom VJP) must equal XLA's autodiff of the
+    patch-extraction forward — divisible hop (all reference configs),
+    non-divisible hop (generic fallback), ragged tails, batched dims."""
+    import jax
+    import jax.numpy as jnp
+
+    from distilcodec_nabeel_tpu.dsp.stft import (
+        _frame_signal_impl,
+        frame_signal,
+    )
+
+    cases = [
+        ((2, 4096), 1024, 256),   # win=4*hop, exact cover
+        ((2, 4097), 1024, 256),   # ragged tail -> zero grads there
+        ((1, 515), 512, 128),     # short stream
+        ((2, 1000), 300, 70),     # hop does not divide frame_length
+        ((2, 3, 2048), 256, 64),  # extra leading batch dim
+    ]
+    for shape, fl, hop in cases:
+        y = jnp.asarray(rng.standard_normal(shape).astype(np.float32))
+        ct = jnp.asarray(
+            rng.standard_normal(frame_signal(y, fl, hop).shape).astype(
+                np.float32
+            )
+        )
+        g_custom = jax.grad(
+            lambda x: jnp.sum(frame_signal(x, fl, hop) * ct)
+        )(y)
+        g_ref = jax.grad(
+            lambda x: jnp.sum(_frame_signal_impl(x, fl, hop) * ct)
+        )(y)
+        np.testing.assert_allclose(
+            np.asarray(g_custom), np.asarray(g_ref), atol=1e-5
+        )
+        np.testing.assert_array_equal(
+            np.asarray(frame_signal(y, fl, hop)),
+            np.asarray(_frame_signal_impl(y, fl, hop)),
+        )
