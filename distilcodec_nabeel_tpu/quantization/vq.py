@@ -87,7 +87,13 @@ def vq_search_mode() -> str:
       codebook as ``embed_q``/``embed_qscale``/``embed_norm2``), hoisting the
       per-call requantization + norm pass that made plain ``int8`` lose in
       context.  Identical scores to ``int8`` by construction.  Falls back to
-      per-call quantization where no cache is stored.
+      per-call quantization where no cache is stored.  MEASURED NEGATIVE
+      one-shot (bench_encode_oneshot.py, b16x10s medians): high 110.6 ms,
+      int8 185.4, int8_cached 120.1 — caching recovers the requantization
+      cost but approx_min_k + candidate gather + rescore still exceed what
+      the int8 matmul saves over bf16x3's fused argmin.  ``high`` is the
+      roofline in both one-shot and fused-scan serving; int8 modes stay
+      opt-in.
     * ``rescored`` — single bf16 score pass + ``approx_min_k`` (k=32) +
       exact fp32 rescore of the candidates.  Exact unless the true argmin
       bf16-ranks below 32 (vs below 1 for ``default``); measured 0/1072
