@@ -35,6 +35,18 @@ def main():
         default=None,
         help="bfloat16: halve discriminator conv memory / double MXU rate",
     )
+    ap.add_argument(
+        "--gen-dtype",
+        default=None,
+        help="bfloat16: generator conv stacks in bf16 (autocast analog; "
+        "params/VQ/losses stay fp32)",
+    )
+    ap.add_argument(
+        "--no-gen-remat",
+        action="store_true",
+        help="disable decoder resblock remat (numerics-neutral; trades HBM "
+        "for the recomputed resblock forwards in the backward)",
+    )
     args = ap.parse_args()
     k1, k2 = args.iters
 
@@ -55,8 +67,16 @@ def main():
     train_cfg = TrainConfig.from_dict(
         load_json("/root/reference/configs/train_config.json")
     )
+    if args.no_gen_remat:
+        import dataclasses
+
+        train_cfg = dataclasses.replace(train_cfg, gen_remat=False)
     trainer = Trainer(
-        codec_cfg, train_cfg, steps_per_epoch=1000, disc_dtype=args.disc_dtype
+        codec_cfg,
+        train_cfg,
+        steps_per_epoch=1000,
+        disc_dtype=args.disc_dtype,
+        gen_dtype=args.gen_dtype,
     )
 
     state = trainer.init_state(jax.random.PRNGKey(0), segment_len=args.segment)
@@ -96,6 +116,8 @@ def main():
                 "batch": args.batch,
                 "segment": args.segment,
                 "disc_dtype": args.disc_dtype or "float32",
+                "gen_dtype": args.gen_dtype or "float32",
+                "gen_remat": not args.no_gen_remat,
             }
         ),
         flush=True,

@@ -65,6 +65,8 @@ class DistilCodecModule(nn.Module):
     cfg: CodecConfig
     only_quantizer: bool = False
     compute_dtype: jnp.dtype | None = None
+    # remat decoder resblocks in training forwards (see HiFiGANGenerator.remat)
+    gen_remat: bool = True
 
     def setup(self):
         cfg = self.cfg
@@ -73,7 +75,10 @@ class DistilCodecModule(nn.Module):
                 cfg.encoder, dtype=self.compute_dtype, name="encoder"
             )
             self.generator = HiFiGANGenerator(
-                cfg.decoder, dtype=self.compute_dtype, name="generator"
+                cfg.decoder,
+                dtype=self.compute_dtype,
+                remat=self.gen_remat,
+                name="generator",
             )
         # quantizer_type selects GRVQ (default) or the FSQ variant.  NOTE the
         # reference pops the key and unconditionally builds GRVQ

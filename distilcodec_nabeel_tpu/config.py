@@ -229,6 +229,18 @@ class TrainConfig:
     # trace-time switches.
     grouped_conv: str | None = None
     msstft_freq_pack: int = 0
+    # generator (encoder+VQ-projections+decoder) conv compute dtype for the
+    # TRAIN step — None/fp32 = round-1 numerics; "bfloat16" is the TPU analog
+    # of the torch lineage training the generator under autocast(bf16)
+    # (the reference's own demo encodes with enable_bfloat16=True,
+    # distil_codec.py:701).  Params, VQ distance/EMA, losses and the returned
+    # waveform stay fp32 (codec.DistilCodecModule compute_dtype semantics).
+    gen_dtype: str | None = None
+    # rematerialize decoder resblocks in the train forward (the reference's
+    # torch.utils.checkpoint, generators.py:132-137).  Off trades HBM for
+    # the recomputed resblock forwards in the backward pass — viable once
+    # disc_dtype/grouped_conv/msstft_freq_pack have freed the memory.
+    gen_remat: bool = True
 
     @classmethod
     def from_dict(cls, d: dict) -> "TrainConfig":

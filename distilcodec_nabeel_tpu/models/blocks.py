@@ -175,9 +175,30 @@ class Conv1d(nn.Module):
         is_depthwise = self.groups == in_ch and self.features == in_ch
         groups = self.groups
         if groups > 1 and not is_depthwise:
-            from ..ops.conv1d import grouped_lowering, grouped_to_dense_kernel
+            from ..ops.conv1d import (
+                dense_grouped_conv,
+                grouped_lowering,
+                grouped_to_dense_kernel,
+            )
 
-            if grouped_lowering() == "dense":
+            low = grouped_lowering()
+            if low == "dense_gw":
+                y = dense_grouped_conv(
+                    x.astype(dtype),
+                    kernel.astype(dtype),
+                    groups,
+                    self.stride,
+                    self.padding,
+                    self.dilation,
+                    pref,
+                )
+                if self.use_bias:
+                    b = self.param(
+                        "bias", nn.initializers.zeros, (self.features,), jnp.float32
+                    )
+                    y = y + b.astype(y.dtype)
+                return y.astype(dtype)
+            if low == "dense":
                 kernel = grouped_to_dense_kernel(kernel, groups)
                 groups = 1
         use_mm = strategy == "mm" or (strategy == "auto" and is_depthwise)

@@ -180,9 +180,25 @@ class SNConv1d(nn.Module):
         pref = jnp.float32 if dtype == jnp.float32 else dtype
         groups = self.groups
         if groups > 1:
-            from ..ops.conv1d import grouped_lowering, grouped_to_dense_kernel
+            from ..ops.conv1d import (
+                dense_grouped_conv,
+                grouped_lowering,
+                grouped_to_dense_kernel,
+            )
 
-            if grouped_lowering() == "dense":
+            low = grouped_lowering()
+            if low == "dense_gw":
+                y = dense_grouped_conv(
+                    x,
+                    kernel.astype(dtype),
+                    groups,
+                    self.stride,
+                    self.padding,
+                    1,
+                    pref,
+                )
+                return y + b.astype(y.dtype)
+            if low == "dense":
                 kernel = grouped_to_dense_kernel(kernel, groups)
                 groups = 1
         y = jax.lax.conv_general_dilated(

@@ -25,6 +25,11 @@ from .blocks import Conv1d, ConvTranspose1d, ParallelBlock, get_padding
 class HiFiGANGenerator(nn.Module):
     cfg: DecoderConfig
     dtype: jnp.dtype | None = None  # bf16 compute mode (params stay fp32)
+    # rematerialize ParallelBlocks when training=True (the reference's
+    # torch.utils.checkpoint on resblocks, generators.py:132-137).  remat is
+    # numerics-neutral (same ops re-executed), so False is bit-identical and
+    # skips the recomputed resblock forwards in the backward pass.
+    remat: bool = True
 
     @nn.compact
     def __call__(
@@ -84,7 +89,7 @@ class HiFiGANGenerator(nn.Module):
                 dtype=self.dtype,
                 name=f"resblocks_{i}",
             )
-            if training:
+            if training and self.remat:
                 x = nn.remat(lambda mdl, y: mdl(y))(block, x)
             else:
                 x = block(x)

@@ -326,7 +326,100 @@ def grouped_lowering() -> str:
       batch-minor tile-padded gradient buffers of the grouped path (the
       training-memory OOM driver at large batch) and fills all 128 MXU
       lanes.  Read at trace time.
+    * ``dense_gw`` — same dense forward and input-gradient, but the WEIGHT
+      gradient is computed directly in the small grouped layout
+      (:func:`dense_grouped_conv`): the dense path's wgrad is a full
+      (K, Cin, Cout) gradient conv whose off-block-diagonal results are
+      discarded by the mask — ``groups``x wasted FLOPs (the D-phase
+      discriminator budget, DESIGN.md "Training-step attribution").
     """
     import os
 
     return os.environ.get("DISTILCODEC_GROUPED_CONV", "grouped")
+
+
+from functools import partial
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6))
+def dense_grouped_conv(
+    x: jnp.ndarray,
+    kernel: jnp.ndarray,
+    groups: int,
+    stride: int = 1,
+    padding: int = 0,
+    dilation: int = 1,
+    preferred_element_type=jnp.float32,
+) -> jnp.ndarray:
+    """Grouped conv lowered dense forward with a GROUPED weight gradient.
+
+    x (B, T, Cin), kernel (K, Cin//groups, Cout) in the torch grouped layout
+    (group h owns in-channels [h*Ci,(h+1)*Ci) and out-channels
+    [h*Co,(h+1)*Co)).  The primal is EXACTLY the ``dense`` lowering (one
+    block-diagonal dense conv — same values to the bit), and so is dx (the
+    transposed dense conv XLA's autodiff would emit).  Only dw changes
+    representation: instead of a full (K, Cin, Cout) dense gradient conv
+    whose off-block entries are masked away (``groups``x wasted FLOPs and
+    the dominant D-phase cost), it is computed per-tap as the batched
+    einsum  dw[k] = einsum('btgi,btgo->igo', x_tap, dy)  — only the useful
+    MACs, fp32 accumulated.  Gradient values match the dense path to float
+    round-off (same products, different summation order).
+    """
+    dense = grouped_to_dense_kernel(kernel, groups)
+    return jax.lax.conv_general_dilated(
+        x,
+        dense,
+        window_strides=(stride,),
+        padding=[(padding, padding)],
+        rhs_dilation=(dilation,),
+        dimension_numbers=("NHC", "HIO", "NHC"),
+        preferred_element_type=preferred_element_type,
+    )
+
+
+def _dgc_fwd(x, kernel, groups, stride, padding, dilation, pref):
+    y = dense_grouped_conv(x, kernel, groups, stride, padding, dilation, pref)
+    return y, (x, kernel)
+
+
+def _dgc_bwd(groups, stride, padding, dilation, pref, res, dy):
+    x, kernel = res
+    K, Ci, Cout = kernel.shape
+    B, T, Cin = x.shape
+    Cog = Cout // groups
+    T_out = dy.shape[1]
+
+    # dx: replay XLA's standard dense-conv input gradient (bit-identical to
+    # what autodiff of the `dense` lowering produces).  NOTE: vjp over the
+    # raw lax conv, NOT over dense_grouped_conv itself (that would re-enter
+    # this rule recursively at trace time).
+    dense = grouped_to_dense_kernel(kernel, groups)
+    fwd_x = lambda xx: jax.lax.conv_general_dilated(
+        xx,
+        dense,
+        window_strides=(stride,),
+        padding=[(padding, padding)],
+        rhs_dilation=(dilation,),
+        dimension_numbers=("NHC", "HIO", "NHC"),
+        preferred_element_type=pref,
+    )
+    dx = jax.vjp(fwd_x, x)[1](dy)[0]
+
+    # dw: grouped per-tap contraction — 1/groups of the dense wgrad FLOPs
+    xp = jnp.pad(x, ((0, 0), (padding, padding), (0, 0)))
+    dyg = dy.reshape(B, T_out, groups, Cog)
+    span = (T_out - 1) * stride + 1
+    dws = []
+    for k in range(K):
+        start = k * dilation
+        sl = jax.lax.slice_in_dim(xp, start, start + span, stride, axis=1)
+        slg = sl.reshape(B, T_out, groups, Ci)
+        dwk = jnp.einsum(
+            "btgi,btgo->igo", slg, dyg, preferred_element_type=jnp.float32
+        )
+        dws.append(dwk.reshape(Ci, Cout))
+    dw = jnp.stack(dws).astype(kernel.dtype)
+    return dx, dw
+
+
+dense_grouped_conv.defvjp(_dgc_fwd, _dgc_bwd)

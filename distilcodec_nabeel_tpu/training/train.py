@@ -121,6 +121,13 @@ class Trainer:
     # v5e — the worst single buffer a 6.7x-tile-padded MSD grouped-conv
     # gradient) and doubles the conv MXU rate.
     disc_dtype: str | None = None
+    # compute dtype for the GENERATOR stack (encoder convs, VQ projections,
+    # decoder convs) in the train step: None = fp32 (round-1 numerics);
+    # "bfloat16" is the TPU analog of the torch lineage training the
+    # generator under autocast(bf16).  Params, the VQ nearest-neighbor
+    # search + EMA transition, the returned waveform, and every loss stay
+    # fp32 (DistilCodecModule compute_dtype semantics).
+    gen_dtype: str | None = None
     # measured-NEGATIVE option, default off: jax.checkpoint around the
     # discriminator forwards made peak memory WORSE (18.1 -> 42.2 GB at
     # batch 19x72000) — it defeats XLA's own auto-remat-with-compression of
@@ -141,7 +148,14 @@ class Trainer:
             )
         if self.disc_dtype is None:
             self.disc_dtype = self.train_cfg.disc_dtype
-        self.module = DistilCodecModule(self.codec_cfg)
+        if self.gen_dtype is None:
+            self.gen_dtype = self.train_cfg.gen_dtype
+        gdt = (self.gen_dtype or "").replace("bf16", "bfloat16")
+        self.module = DistilCodecModule(
+            self.codec_cfg,
+            compute_dtype=jnp.dtype(gdt) if gdt else None,
+            gen_remat=self.train_cfg.gen_remat,
+        )
         from ..dsp.mel import LogMelSpectrogram
 
         spec = self.codec_cfg.spec

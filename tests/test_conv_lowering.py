@@ -229,6 +229,53 @@ def test_grouped_dense_lowering_matches(rng, monkeypatch):
     jax.clear_caches()
 
 
+def test_grouped_dense_gw_lowering_matches(rng, monkeypatch):
+    """DISTILCODEC_GROUPED_CONV=dense_gw: primal identical to the dense
+    lowering (same block-diag dense conv), dx identical, and the grouped
+    weight gradient matches the grouped-conv autodiff to float round-off
+    (same products, different summation order).  Covers the MSD shapes:
+    strided + grouped, both weight-normed Conv1d and spectral-norm SNConv1d."""
+    import jax
+    import jax.numpy as jnp
+
+    from distilcodec_nabeel_tpu.models.blocks import Conv1d
+    from distilcodec_nabeel_tpu.models.discriminators import SNConv1d
+
+    x = jnp.asarray(rng.standard_normal((2, 64, 32)).astype(np.float32))
+
+    for conv, kwargs in (
+        (Conv1d(32, 5, padding=2, groups=4, use_weight_norm=True), {}),
+        (Conv1d(64, 41, stride=2, padding=20, groups=4), {}),
+        (SNConv1d(64, 41, stride=2, padding=20, groups=4), {"update_stats": False}),
+    ):
+        variables = conv.init(jax.random.PRNGKey(0), x, **kwargs)
+
+        def loss(v, x):
+            return jnp.sum(jnp.square(conv.apply(v, x, **kwargs)))
+
+        y_ref = conv.apply(variables, x, **kwargs)
+        g_ref = jax.grad(loss)(variables, x)
+        gx_ref = jax.grad(loss, argnums=1)(variables, x)
+        monkeypatch.setenv("DISTILCODEC_GROUPED_CONV", "dense_gw")
+        jax.clear_caches()
+        y_gw = conv.apply(variables, x, **kwargs)
+        g_gw = jax.grad(loss)(variables, x)
+        gx_gw = jax.grad(loss, argnums=1)(variables, x)
+        monkeypatch.delenv("DISTILCODEC_GROUPED_CONV")
+        jax.clear_caches()
+
+        np.testing.assert_allclose(np.asarray(y_gw), np.asarray(y_ref), atol=2e-5)
+        np.testing.assert_allclose(
+            np.asarray(gx_gw), np.asarray(gx_ref), atol=2e-4
+        )
+        for a, b in zip(
+            jax.tree_util.tree_leaves(g_gw), jax.tree_util.tree_leaves(g_ref)
+        ):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-4, atol=2e-4
+            )
+
+
 def test_msstft_freq_pack_matches(rng, monkeypatch):
     """DISTILCODEC_MSSTFT_PACK=4: exact freq->lane space-to-depth lowering of
     every MS-STFT conv — full discriminator logits+fmaps AND parameter

@@ -171,3 +171,59 @@ def test_bf16_discriminator_mode(trainer, state, rng):
     g32 = float(m32["g_loss/total"])
     g16 = float(m16["g_loss/total"])
     assert abs(g32 - g16) < 0.15 * max(abs(g32), 1.0), (g32, g16)
+
+
+def test_bf16_generator_mode(trainer, state, rng):
+    """gen_dtype='bfloat16' (autocast-analog training): params stay fp32 with
+    the identical tree, one step runs with finite losses close to fp32's, and
+    the EMA codebook transition matches the fp32 step closely (the VQ core is
+    always fp32; only conv compute rounds)."""
+    tr16 = Trainer(
+        mini_codec_cfg(), mini_train_cfg(), steps_per_epoch=10,
+        gen_dtype="bfloat16",
+    )
+    s16 = tr16.init_state(jax.random.PRNGKey(0), segment_len=2048)
+    assert jax.tree_util.tree_structure(
+        s16.gen_params
+    ) == jax.tree_util.tree_structure(state.gen_params)
+    for a in jax.tree_util.tree_leaves(s16.gen_params):
+        assert a.dtype == jnp.float32
+
+    audio = jnp.asarray(rng.standard_normal((2, 2048)).astype(np.float32) * 0.1)
+    st32, m32 = jax.jit(trainer.train_step)(state, audio, jax.random.PRNGKey(1))
+    st16, m16 = jax.jit(tr16.train_step)(state, audio, jax.random.PRNGKey(1))
+    for k in m16:
+        assert np.isfinite(np.asarray(m16[k])).all(), k
+    g32 = float(m32["g_loss/total"])
+    g16 = float(m16["g_loss/total"])
+    assert abs(g32 - g16) < 0.15 * max(abs(g32), 1.0), (g32, g16)
+    # the fp32 EMA transition sees bf16-rounded encoder outputs: close, not exact
+    cb32 = np.asarray(
+        st32.codebook["quantizer"]["grvq"]["rvqs_0"]["layers_0"]["cluster_size"]
+    )
+    cb16 = np.asarray(
+        st16.codebook["quantizer"]["grvq"]["rvqs_0"]["layers_0"]["cluster_size"]
+    )
+    np.testing.assert_allclose(cb32.sum(), cb16.sum(), rtol=1e-4)
+
+
+def test_gen_remat_off_matches(trainer, state, rng):
+    """gen_remat=False is numerics-neutral: remat re-executes the same ops, so
+    dropping it must reproduce the rematted step to float round-off (XLA may
+    fuse differently across the checkpoint boundary)."""
+    import dataclasses
+
+    tr_nr = Trainer(
+        mini_codec_cfg(),
+        dataclasses.replace(mini_train_cfg(), gen_remat=False),
+        steps_per_epoch=10,
+    )
+    audio = jnp.asarray(rng.standard_normal((2, 2048)).astype(np.float32) * 0.1)
+    _, m_r = jax.jit(trainer.train_step)(state, audio, jax.random.PRNGKey(1))
+    _, m_nr = jax.jit(tr_nr.train_step)(state, audio, jax.random.PRNGKey(1))
+    np.testing.assert_allclose(
+        float(m_r["g_loss/total"]), float(m_nr["g_loss/total"]), rtol=1e-5
+    )
+    np.testing.assert_allclose(
+        float(m_r["d_loss/total"]), float(m_nr["d_loss/total"]), rtol=1e-5
+    )
