@@ -207,6 +207,58 @@ def test_bf16_generator_mode(trainer, state, rng):
     np.testing.assert_allclose(cb32.sum(), cb16.sum(), rtol=1e-4)
 
 
+@pytest.mark.skipif(
+    not __import__("os").environ.get("DISTILCODEC_HEAVY_TESTS"),
+    reason="~20 min of XLA compile on a 2-CPU host; set "
+    "DISTILCODEC_HEAVY_TESTS=1 to run.  The strictest variant "
+    "(grouped_conv='dense_gw') passed in full on 2026-08-20 "
+    "(sharded == unsharded to 5e-3); __graft_entry__.dryrun_multichip "
+    "exercises the same recipe every driver round.",
+)
+def test_production_recipe_data_parallel(rng, monkeypatch):
+    """The full production recipe (gen bf16 + disc bf16 + dense grouped
+    lowering + MS-STFT freq packing + remat off) under data-parallel GSPMD on
+    the 8-CPU mesh: one step runs, losses finite, and the sharded step matches
+    the same trainer's unsharded step (the packed/dense lowerings must shard
+    cleanly).  The opt-in dense_gw custom VJP composes too (verified once:
+    this test passed with grouped_conv="dense_gw"; it is kept on "dense" —
+    the recipe that actually ships — because the 41 unrolled per-tap einsums
+    in dense_gw's backward dominate compile time)."""
+    import dataclasses
+
+    from jax.sharding import Mesh
+
+    monkeypatch.delenv("DISTILCODEC_GROUPED_CONV", raising=False)
+    monkeypatch.delenv("DISTILCODEC_MSSTFT_PACK", raising=False)
+    cfg = dataclasses.replace(
+        mini_train_cfg(),
+        gen_dtype="bfloat16",
+        gen_remat=False,
+        disc_dtype="bfloat16",
+        grouped_conv="dense",
+        msstft_freq_pack=4,
+    )
+    tr = Trainer(mini_codec_cfg(), cfg, steps_per_epoch=10)
+    state = tr.init_state(jax.random.PRNGKey(0), segment_len=2048)
+    audio = jnp.asarray(rng.standard_normal((8, 2048)).astype(np.float32) * 0.1)
+    rng_key = jax.random.PRNGKey(2)
+
+    ref_state, ref_metrics = jax.jit(tr.train_step)(state, audio, rng_key)
+    mesh = Mesh(np.array(jax.devices()[:8]), ("data",))
+    dp_state, dp_metrics = tr.jit_train_step(mesh)(state, audio, rng_key)
+
+    for k, v in dp_metrics.items():
+        assert np.isfinite(np.asarray(v)).all(), k
+    np.testing.assert_allclose(
+        np.asarray(ref_metrics["g_loss/total"]),
+        np.asarray(dp_metrics["g_loss/total"]),
+        rtol=5e-3,
+        atol=5e-3,
+    )
+    monkeypatch.delenv("DISTILCODEC_GROUPED_CONV", raising=False)
+    monkeypatch.delenv("DISTILCODEC_MSSTFT_PACK", raising=False)
+
+
 def test_gen_remat_off_matches(trainer, state, rng):
     """gen_remat=False is numerics-neutral: remat re-executes the same ops, so
     dropping it must reproduce the rematted step to float round-off (XLA may
