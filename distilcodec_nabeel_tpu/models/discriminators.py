@@ -9,8 +9,9 @@ scale spectrally normalized.
 Reference quirk honored: MultiScaleDiscriminator's config branch is inverted
 (``if self.msd_config is not None`` selects the *default* architecture and the
 config-reading branch dereferences None, descriminators.py:273-282) — so the
-torch-default DiscriminatorS stack is what actually trains; we build that, and
-additionally support the configured form behind ``use_config_arch=True``.
+torch-default DiscriminatorS stack is what actually trains; we build that by
+default.  ``MultiScaleDiscriminator(layers=...)`` overrides the stack (a
+framework extension for tests / the multi-chip dryrun, not reference parity).
 
 Spectral norm keeps its power-iteration vector in the ``spectral`` variable
 collection — updated in-forward like torch, but as an explicit functional
@@ -108,16 +109,23 @@ class WNConv2d(nn.Module):
             x, ((0, 0), (0, 0), (pad, max(0, need - W - pad)), (0, 0))
         )[:, :, :need]
         xp = xpad.reshape(B, H, need // q, q * C)
-        # scatter the true taps into the packed kernel (structural zeros
-        # elsewhere); gradients flow back through the scatter to `kernel`
-        wp = jnp.zeros((kh, Bk, q * C, p * cout), kernel.dtype)
+        # route the true taps into the packed kernel (structural zeros
+        # elsewhere) with ONE einsum against a constant 0/1 tensor: output
+        # phase o reads input position o*s+u for tap u, i.e. block
+        # (o*s+u)//q, within-block offset (o*s+u)%q.  A single einsum (and a
+        # single einsum gradient) compiles far faster than the equivalent
+        # p*kw-scatter chain (the round-2 dryrun compile hog) and lowers to
+        # one MXU-friendly contraction.
+        import numpy as np
+
+        route = np.zeros((kw, p, Bk, q), kernel.dtype)
         for o in range(p):
             for u in range(kw):
                 gi = o * s + u
-                blk, r = gi // q, gi % q
-                wp = wp.at[:, blk, r * C : (r + 1) * C, o * cout : (o + 1) * cout].set(
-                    kernel[:, u]
-                )
+                route[u, o, gi // q, gi % q] = 1
+        wp = jnp.einsum(
+            "kucj,uobr->kbrcoj", kernel, jnp.asarray(route)
+        ).reshape(kh, Bk, q * C, p * cout)
         y = jax.lax.conv_general_dilated(
             xp,
             wp,
@@ -281,10 +289,31 @@ class MultiPeriodDiscriminator(nn.Module):
         return y_d_rs, y_d_gs, fmap_rs, fmap_gs
 
 
+# The torch-default DiscriminatorS stack — what the reference actually trains
+# (its config-reading branch is dead, descriminators.py:273-282):
+# (features, kernel, stride, groups, padding) per conv.
+MSD_TORCH_DEFAULT_LAYERS = (
+    (128, 15, 1, 1, 7),
+    (128, 41, 2, 4, 20),
+    (256, 41, 2, 16, 20),
+    (512, 41, 4, 16, 20),
+    (1024, 41, 4, 16, 20),
+    (1024, 41, 1, 16, 20),
+    (1024, 5, 1, 1, 2),
+)
+
+
 class DiscriminatorS(nn.Module):
-    """Scale discriminator (descriminators.py:220-264), torch-default arch."""
+    """Scale discriminator (descriminators.py:220-264), torch-default arch.
+
+    ``layers`` overrides the conv stack — a framework extension (NOT reference
+    behavior; the reference's MSD config branch is dead code) used to build
+    structurally identical but small stacks for tests and the multi-chip
+    dryrun, where the full 1024-ch k=41 convs dominate CPU-mesh XLA compile
+    time (the round-2 driver-timeout root cause, VERDICT.md)."""
 
     use_spectral_norm: bool = False
+    layers: tuple = MSD_TORCH_DEFAULT_LAYERS
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, *, update_stats: bool = False):
@@ -292,17 +321,7 @@ class DiscriminatorS(nn.Module):
         b = x.shape[0]
         x = x[..., None]  # (B, T, 1)
         fmap = []
-        layers = [
-            # (features, kernel, stride, groups, padding)
-            (128, 15, 1, 1, 7),
-            (128, 41, 2, 4, 20),
-            (256, 41, 2, 16, 20),
-            (512, 41, 4, 16, 20),
-            (1024, 41, 4, 16, 20),
-            (1024, 41, 1, 16, 20),
-            (1024, 5, 1, 1, 2),
-        ]
-        for i, (f, k, s, g, pad) in enumerate(layers):
+        for i, (f, k, s, g, pad) in enumerate(self.layers):
             if self.use_spectral_norm:
                 x = SNConv1d(f, k, stride=s, padding=pad, groups=g, name=f"convs_{i}")(
                     x, update_stats=update_stats
@@ -348,14 +367,21 @@ def _avg_pool1d(x: jnp.ndarray, window: int = 4, stride: int = 2, padding: int =
 
 
 class MultiScaleDiscriminator(nn.Module):
-    """(descriminators.py:267-321) — 3 scales x1, /2, /4; first spectral-norm."""
+    """(descriminators.py:267-321) — 3 scales x1, /2, /4; first spectral-norm.
+
+    ``layers=None`` builds the torch-default stack (reference parity); a
+    tuple-of-tuples overrides every scale's conv spec (see DiscriminatorS)."""
+
+    layers: tuple | None = None
 
     @nn.compact
     def __call__(self, y: jnp.ndarray, y_hat: jnp.ndarray, *, update_stats: bool = False):
         y_d_rs, y_d_gs, fmap_rs, fmap_gs = [], [], [], []
         for i in range(3):
             d = DiscriminatorS(
-                use_spectral_norm=(i == 0), name=f"discriminators_{i}"
+                use_spectral_norm=(i == 0),
+                layers=self.layers or MSD_TORCH_DEFAULT_LAYERS,
+                name=f"discriminators_{i}",
             )
             if i != 0:
                 y = _avg_pool1d(y)

@@ -65,6 +65,7 @@ class Discriminators(nn.Module):
             y_hat = y_hat.astype(self.dtype)
         d = self.cfg.descriminators or {}
         mpd_cfg = d.get("MultiPeriodDiscriminator", {})
+        msd_cfg = d.get("MultiScaleDiscriminator", {})
         msstft_cfg = d.get("MultiScaleSTFTDiscriminator", {})
 
         mpd = MultiPeriodDiscriminator(
@@ -73,9 +74,16 @@ class Discriminators(nn.Module):
             stride=mpd_cfg.get("stride", 3),
             name="mpd",
         )
-        # MSD always uses the torch-default architecture (the reference's
-        # config branch is inverted/dead — descriminators.py:273-282)
-        msd = MultiScaleDiscriminator(name="msd")
+        # MSD uses the torch-default architecture (the reference's config
+        # branch is inverted/dead — descriminators.py:273-282) unless the
+        # framework-extension key ``override_layers`` asks for a structurally
+        # identical small stack (tests / multi-chip dryrun — the full
+        # 1024-ch k=41 stack is a CPU-mesh compile-time hazard, VERDICT.md).
+        override = msd_cfg.get("override_layers")
+        msd = MultiScaleDiscriminator(
+            layers=tuple(tuple(l) for l in override) if override else None,
+            name="msd",
+        )
         msstft = MultiScaleSTFTDiscriminator(
             filters=msstft_cfg.get("filters", 32),
             n_ffts=tuple(msstft_cfg.get("n_ffts", (1024, 2048, 512, 256, 128))),
