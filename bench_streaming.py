@@ -63,6 +63,11 @@ def main():
     codes_all.append(enc.flush())
     codes = np.concatenate(codes_all, axis=0)
     lat_e = np.asarray(lat_e[2:])  # drop compile/warm pushes
+    if len(lat_e) < 3:
+        raise SystemExit(
+            f"only {len(lat_e)} steady-state encoder chunks after dropping "
+            "2 warmups — increase --seconds or decrease --chunk"
+        )
     chunk_audio_s = block / SR
     print(
         json.dumps(
@@ -94,7 +99,17 @@ def main():
         if len(w):
             lat_d.append(dt)
             produced += len(w)
+    # finish the sanity check the tail flush completes: every code frame
+    # must come back out as hop*ds samples
+    produced += len(dec.flush())
+    expected = len(codes) * codec.hop_size * codec.ds_factor
+    assert produced == expected, (produced, expected)
     lat_d = np.asarray(lat_d[2:])
+    if len(lat_d) < 3:
+        raise SystemExit(
+            f"only {len(lat_d)} steady-state decoder chunks after dropping "
+            "2 warmups — increase --seconds or decrease --chunk"
+        )
     print(
         json.dumps(
             {

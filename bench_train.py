@@ -47,6 +47,18 @@ def main():
         help="disable decoder resblock remat (numerics-neutral; trades HBM "
         "for the recomputed resblock forwards in the backward)",
     )
+    ap.add_argument(
+        "--grouped-conv",
+        default=None,
+        choices=[None, "grouped", "dense", "dense_gw"],
+        help="MSD grouped-conv lowering (production recipe: dense)",
+    )
+    ap.add_argument(
+        "--msstft-pack",
+        type=int,
+        default=0,
+        help="MS-STFT freq->lane packing factor (production recipe: 4)",
+    )
     args = ap.parse_args()
     k1, k2 = args.iters
 
@@ -67,10 +79,16 @@ def main():
     train_cfg = TrainConfig.from_dict(
         load_json("/root/reference/configs/train_config.json")
     )
-    if args.no_gen_remat:
-        import dataclasses
+    import dataclasses
 
+    if args.no_gen_remat:
         train_cfg = dataclasses.replace(train_cfg, gen_remat=False)
+    if args.grouped_conv:
+        train_cfg = dataclasses.replace(train_cfg, grouped_conv=args.grouped_conv)
+    if args.msstft_pack:
+        train_cfg = dataclasses.replace(
+            train_cfg, msstft_freq_pack=args.msstft_pack
+        )
     trainer = Trainer(
         codec_cfg,
         train_cfg,
@@ -118,6 +136,8 @@ def main():
                 "disc_dtype": args.disc_dtype or "float32",
                 "gen_dtype": args.gen_dtype or "float32",
                 "gen_remat": not args.no_gen_remat,
+                "grouped_conv": train_cfg.grouped_conv or "grouped",
+                "msstft_freq_pack": train_cfg.msstft_freq_pack,
             }
         ),
         flush=True,

@@ -67,6 +67,10 @@ class DistilCodecModule(nn.Module):
     compute_dtype: jnp.dtype | None = None
     # remat decoder resblocks in training forwards (see HiFiGANGenerator.remat)
     gen_remat: bool = True
+    # per-instance VQ nearest-neighbor search mode (None -> the
+    # DISTILCODEC_VQ_PRECISION env fallback); lets two codecs with different
+    # VQ precisions coexist in one process (quantization.vq.vq_search_mode)
+    vq_search_mode: str | None = None
 
     def setup(self):
         cfg = self.cfg
@@ -91,7 +95,10 @@ class DistilCodecModule(nn.Module):
             )
         else:
             self.quantizer = DownsampleGRVQ(
-                cfg.quantizer, dtype=self.compute_dtype, name="quantizer"
+                cfg.quantizer,
+                dtype=self.compute_dtype,
+                search_mode=self.vq_search_mode,
+                name="quantizer",
             )
         self.spec_transform = LogMelSpectrogram(
             sample_rate=cfg.spec.sampling_rate,
@@ -158,6 +165,23 @@ class DistilCodecModule(nn.Module):
 class DistilCodec:
     """User-facing codec (reference API: distil_codec.py:29-654)."""
 
+    def _build_modules(self) -> None:
+        """(Re)build the jittable modules for the current VQ search mode —
+        instance state, so two codecs with different modes coexist in one
+        process (the DISTILCODEC_VQ_PRECISION env var remains a process-wide
+        fallback for instances that don't set a mode)."""
+        self.module = DistilCodecModule(
+            self.codec_config,
+            only_quantizer=self._only_quantizer,
+            vq_search_mode=self._vq_search_mode,
+        )
+        self.module_bf16 = DistilCodecModule(
+            self.codec_config,
+            only_quantizer=self._only_quantizer,
+            compute_dtype=jnp.bfloat16,
+            vq_search_mode=self._vq_search_mode,
+        )
+
     def __init__(
         self,
         configs: dict | CodecConfig,
@@ -165,6 +189,7 @@ class DistilCodec:
         only_quantizer: bool = False,
         variables: dict | None = None,
         seed: int = 0,
+        vq_search_mode: str | None = None,
     ):
         if isinstance(configs, dict):
             configs = CodecConfig.from_dict(configs)
@@ -179,10 +204,9 @@ class DistilCodec:
         self.tokens_id_offset = configs.token_id_offset
         self.spec_config = configs.spec
 
-        self.module = DistilCodecModule(configs, only_quantizer=only_quantizer)
-        self.module_bf16 = DistilCodecModule(
-            configs, only_quantizer=only_quantizer, compute_dtype=jnp.bfloat16
-        )
+        self._only_quantizer = only_quantizer
+        self._vq_search_mode = vq_search_mode
+        self._build_modules()
         if variables is None:
             # init under jit: one compiled program instead of thousands of
             # eagerly-dispatched init ops (critical on remote-compile TPU)
@@ -343,7 +367,7 @@ class DistilCodec:
         Computes per-row symmetric int8 tables + squared norms for every
         codebook ONCE and stores them beside the fp32 ``embed``
         (``embed_q``/``embed_qscale``/``embed_norm2`` in the codebook
-        collection), then switches the process VQ search mode to
+        collection), then switches THIS instance's VQ search mode to
         ``int8_cached``: int8 MXU scoring (2x the bf16 rate, 4x less HBM
         traffic) + exact fp32 rescore of the top-16 candidates — identical
         scores to ``DISTILCODEC_VQ_PRECISION=int8``, none of its per-call
@@ -352,8 +376,6 @@ class DistilCodec:
         (``reset_codebook`` refreshes automatically; training EMA updates do
         NOT — drop the cache before training).  ``enable=False`` removes the
         tables and restores the default search.  Returns self."""
-        import os
-
         from .quantization.vq import quantize_codebook_int8
 
         cb_state = jax.tree_util.tree_map(
@@ -376,12 +398,10 @@ class DistilCodec:
             "codebook": jax.tree_util.tree_map(jnp.asarray, cb_state),
         }
         if enable:
-            os.environ["DISTILCODEC_VQ_PRECISION"] = "int8_cached"
-        elif (
-            os.environ.get("DISTILCODEC_VQ_PRECISION", "").lower()
-            == "int8_cached"
-        ):
-            del os.environ["DISTILCODEC_VQ_PRECISION"]
+            self._vq_search_mode = "int8_cached"
+        elif self._vq_search_mode == "int8_cached":
+            self._vq_search_mode = None
+        self._build_modules()
         self._build_jits()  # retrace with/without the cached tables
         return self
 

@@ -224,9 +224,10 @@ class TrainConfig:
     # grouped_conv="dense" lowers the MSD grouped convs to masked
     # block-diagonal dense (kills the batch-minor padded gradient buffers);
     # msstft_freq_pack=4 packs MS-STFT frequencies into lanes (the
-    # 32-channel convs otherwise tile-pad their gradients ~5x).  Trainer
-    # exports these as the DISTILCODEC_GROUPED_CONV / DISTILCODEC_MSSTFT_PACK
-    # trace-time switches.
+    # 32-channel convs otherwise tile-pad their gradients ~5x).  Threaded as
+    # module attributes through Discriminators (instance-scoped; the
+    # DISTILCODEC_GROUPED_CONV / DISTILCODEC_MSSTFT_PACK env vars remain
+    # process-wide fallbacks for instances that don't set them).
     grouped_conv: str | None = None
     msstft_freq_pack: int = 0
     # generator (encoder+VQ-projections+decoder) conv compute dtype for the

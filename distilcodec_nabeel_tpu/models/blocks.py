@@ -127,6 +127,10 @@ class Conv1d(nn.Module):
     # >1: input/output are time-packed (B, S, pack*C) — see
     # ops.conv1d.conv1d_packed_frames.  Param shapes/names are unchanged.
     pack: int = 1
+    # non-depthwise grouped-conv lowering for THIS instance
+    # ('grouped'|'dense'|'dense_gw'); None falls back to the
+    # DISTILCODEC_GROUPED_CONV env var (ops.conv1d.grouped_lowering)
+    grouped_conv_lowering: str | None = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -181,7 +185,7 @@ class Conv1d(nn.Module):
                 grouped_to_dense_kernel,
             )
 
-            low = grouped_lowering()
+            low = self.grouped_conv_lowering or grouped_lowering()
             if low == "dense_gw":
                 y = dense_grouped_conv(
                     x.astype(dtype),

@@ -148,6 +148,8 @@ class SNConv1d(nn.Module):
     stride: int = 1
     padding: int = 0
     groups: int = 1
+    # grouped-conv lowering override (None -> DISTILCODEC_GROUPED_CONV env)
+    grouped_conv_lowering: str | None = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, *, update_stats: bool = False) -> jnp.ndarray:
@@ -194,7 +196,7 @@ class SNConv1d(nn.Module):
                 grouped_to_dense_kernel,
             )
 
-            low = grouped_lowering()
+            low = self.grouped_conv_lowering or grouped_lowering()
             if low == "dense_gw":
                 y = dense_grouped_conv(
                     x,
@@ -314,6 +316,7 @@ class DiscriminatorS(nn.Module):
 
     use_spectral_norm: bool = False
     layers: tuple = MSD_TORCH_DEFAULT_LAYERS
+    grouped_conv_lowering: str | None = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, *, update_stats: bool = False):
@@ -323,11 +326,19 @@ class DiscriminatorS(nn.Module):
         fmap = []
         for i, (f, k, s, g, pad) in enumerate(self.layers):
             if self.use_spectral_norm:
-                x = SNConv1d(f, k, stride=s, padding=pad, groups=g, name=f"convs_{i}")(
-                    x, update_stats=update_stats
-                )
+                x = SNConv1d(
+                    f,
+                    k,
+                    stride=s,
+                    padding=pad,
+                    groups=g,
+                    grouped_conv_lowering=self.grouped_conv_lowering,
+                    name=f"convs_{i}",
+                )(x, update_stats=update_stats)
             else:
-                x = _wn_conv1d(f, k, s, pad, g, f"convs_{i}")(x)
+                x = _wn_conv1d(
+                    f, k, s, pad, g, f"convs_{i}", self.grouped_conv_lowering
+                )(x)
             x = nn.leaky_relu(x, LRELU_SLOPE)
             fmap.append(x)
         if self.use_spectral_norm:
@@ -338,7 +349,7 @@ class DiscriminatorS(nn.Module):
         return x.reshape(b, -1), fmap
 
 
-def _wn_conv1d(features, kernel, stride, padding, groups, name):
+def _wn_conv1d(features, kernel, stride, padding, groups, name, lowering=None):
     from .blocks import Conv1d
 
     return Conv1d(
@@ -349,6 +360,7 @@ def _wn_conv1d(features, kernel, stride, padding, groups, name):
         groups=groups,
         use_weight_norm=True,
         kernel_init=_normal001,
+        grouped_conv_lowering=lowering,
         name=name,
     )
 
@@ -373,6 +385,7 @@ class MultiScaleDiscriminator(nn.Module):
     tuple-of-tuples overrides every scale's conv spec (see DiscriminatorS)."""
 
     layers: tuple | None = None
+    grouped_conv_lowering: str | None = None
 
     @nn.compact
     def __call__(self, y: jnp.ndarray, y_hat: jnp.ndarray, *, update_stats: bool = False):
@@ -381,6 +394,7 @@ class MultiScaleDiscriminator(nn.Module):
             d = DiscriminatorS(
                 use_spectral_norm=(i == 0),
                 layers=self.layers or MSD_TORCH_DEFAULT_LAYERS,
+                grouped_conv_lowering=self.grouped_conv_lowering,
                 name=f"discriminators_{i}",
             )
             if i != 0:

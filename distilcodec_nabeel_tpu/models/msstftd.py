@@ -46,16 +46,20 @@ class DiscriminatorSTFT(nn.Module):
     kernel_size: tuple = (3, 9)
     dilations: Sequence[int] = (1, 2, 4)
     stride: tuple = (1, 2)
+    # exact freq->lane packing of every conv (see WNConv2d._freq_packed):
+    # the 32-channel convs otherwise use 32 of 128 lanes and their gradient
+    # buffers tile-pad ~5x (the batch-19 OOM offender, TODO.md).  None falls
+    # back to the DISTILCODEC_MSSTFT_PACK env var; 0 disables.
+    freq_pack: int | None = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray):
         """x: (B, T) waveform -> (logits (B, H, W, 1), fmaps)."""
         import os
 
-        # exact freq->lane packing of every conv (see WNConv2d._freq_packed):
-        # the 32-channel convs otherwise use 32 of 128 lanes and their
-        # gradient buffers tile-pad ~5x (the batch-19 OOM offender, TODO.md)
-        pack = int(os.environ.get("DISTILCODEC_MSSTFT_PACK", "0") or 0)
+        pack = self.freq_pack
+        if pack is None:
+            pack = int(os.environ.get("DISTILCODEC_MSSTFT_PACK", "0") or 0)
         # STFT always in fp32 (small; the reference's torchaudio Spectrogram
         # runs fp32 too); only the conv stack follows the input dtype
         re, im = stft_complex(
@@ -128,6 +132,7 @@ class MultiScaleSTFTDiscriminator(nn.Module):
     n_ffts: Sequence[int] = (1024, 2048, 512, 256, 128)
     hop_lengths: Sequence[int] = (256, 512, 128, 64, 32)
     win_lengths: Sequence[int] = (1024, 2048, 512, 256, 128)
+    freq_pack: int | None = None  # see DiscriminatorSTFT.freq_pack
 
     @nn.compact
     def __call__(self, x: jnp.ndarray):
@@ -141,6 +146,7 @@ class MultiScaleSTFTDiscriminator(nn.Module):
                 n_fft=self.n_ffts[i],
                 win_length=self.win_lengths[i],
                 hop_length=self.hop_lengths[i],
+                freq_pack=self.freq_pack,
                 name=f"discriminators_{i}",
             )
             logit, fmap = d(x)

@@ -19,6 +19,8 @@ accumulate in fp32 via ``preferred_element_type`` regardless of compute dtype.
 
 from __future__ import annotations
 
+from functools import partial
+
 import jax
 import jax.numpy as jnp
 
@@ -336,9 +338,6 @@ def grouped_lowering() -> str:
     import os
 
     return os.environ.get("DISTILCODEC_GROUPED_CONV", "grouped")
-
-
-from functools import partial
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6))

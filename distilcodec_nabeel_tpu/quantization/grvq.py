@@ -37,6 +37,9 @@ class GRVQResult:
 class DownsampleGRVQ(nn.Module):
     cfg: QuantizerConfig
     dtype: jnp.dtype | None = None  # bf16 compute mode (VQ core stays fp32)
+    # per-instance VQ nearest-neighbor mode (None -> DISTILCODEC_VQ_PRECISION
+    # env fallback); see quantization.vq.vq_search_mode
+    search_mode: str | None = None
 
     def setup(self):
         cfg = self.cfg
@@ -93,6 +96,9 @@ class DownsampleGRVQ(nn.Module):
             codebook_diversity_temperature=cfg.codebook_diversity_temperature,
             threshold_ema_dead_code=cfg.threshold_ema_dead_code,
             dtype=self.dtype,
+            vq_kwargs=(
+                {"search_mode": self.search_mode} if self.search_mode else None
+            ),
             name="grvq",
         )
 

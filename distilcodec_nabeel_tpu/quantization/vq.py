@@ -66,7 +66,7 @@ def _kaiming_uniform_init(key, shape, dtype=jnp.float32):
     return jax.random.uniform(key, shape, dtype, minval=-bound, maxval=bound)
 
 
-def vq_search_mode() -> str:
+def vq_search_mode(override: str | None = None) -> str:
     """Nearest-neighbor search mode, ``DISTILCODEC_VQ_PRECISION``.
 
     All timings measured on one TPU v5e chip at the flagship shape
@@ -108,20 +108,23 @@ def vq_search_mode() -> str:
     * ``highest`` — bf16x6, the conservative reference-numerics mode
       (186 ms).
 
-    Read at trace time: set before the first encode; already-compiled
-    programs keep their mode.
+    ``override`` (from a module's ``search_mode`` attribute) takes priority;
+    the env var is the optional process-wide fallback, read at trace time —
+    already-compiled programs keep their mode.
     """
     import os
 
+    if override:
+        return override.upper()
     return os.environ.get("DISTILCODEC_VQ_PRECISION", "high").upper()
 
 
-def vq_matmul_precision() -> jax.lax.Precision:
+def vq_matmul_precision(mode: str | None = None) -> jax.lax.Precision:
     """MXU precision of the distance matmul for modes that are plain matmul
     precisions (the int8 modes apply only to the argmin search path and fall
     back to HIGH where a full distance matrix is required)."""
     return getattr(
-        jax.lax.Precision, vq_search_mode(), jax.lax.Precision.HIGH
+        jax.lax.Precision, vq_search_mode(mode), jax.lax.Precision.HIGH
     )
 
 
@@ -256,14 +259,16 @@ def nearest_code_rescored(
     )
 
 
-def nearest_code_xla(x: jnp.ndarray, embed: jnp.ndarray) -> jnp.ndarray:
+def nearest_code_xla(
+    x: jnp.ndarray, embed: jnp.ndarray, mode: str | None = None
+) -> jnp.ndarray:
     """argmin_k ||x - e_k|| via one fp32 MXU matmul.  x: (N,D) -> (N,) int32.
 
     sqrt is monotonic so we argmin the squared distance; the |x|^2 term is
     constant per row and dropped.  First-index tie-breaking matches torch/jnp
     argmax conventions.
     """
-    mode = vq_search_mode()
+    mode = vq_search_mode(mode)
     if mode in ("INT8", "INT8_CACHED"):
         # INT8_CACHED without stored tables degrades to per-call quantization
         return nearest_code_int8(x, embed, k=16, recall=0.99)
@@ -276,7 +281,7 @@ def nearest_code_xla(x: jnp.ndarray, embed: jnp.ndarray) -> jnp.ndarray:
     e2 = jnp.sum(jnp.square(embed), axis=-1)
     # HIGH (bf16x3) measured: identical argmins to HIGHEST at 5.6x the speed;
     # DISTILCODEC_VQ_PRECISION=default selects the bf16x1 throughput mode
-    xy = jnp.matmul(x, embed.T, precision=vq_matmul_precision())
+    xy = jnp.matmul(x, embed.T, precision=vq_matmul_precision(mode))
     return jnp.argmin(e2[None, :] - 2.0 * xy, axis=-1).astype(jnp.int32)
 
 
@@ -286,7 +291,9 @@ def _l2norm(t: jnp.ndarray, eps: float = 1e-12) -> jnp.ndarray:
     )
 
 
-def nearest_code(x: jnp.ndarray, embed: jnp.ndarray) -> jnp.ndarray:
+def nearest_code(
+    x: jnp.ndarray, embed: jnp.ndarray, mode: str | None = None
+) -> jnp.ndarray:
     """Dispatch: codebook-TP allreduce-argmin when activated
     (``DistilCodec.use_codebook_sharding``), else fused Pallas
     distance+argmin on TPU (no materialized (N, K) score matrix), else plain
@@ -304,7 +311,7 @@ def nearest_code(x: jnp.ndarray, embed: jnp.ndarray) -> jnp.ndarray:
 
     if use_pallas_default() and k % 128 == 0 and d % 128 == 0:
         return fused_nearest_code(x, embed)
-    return nearest_code_xla(x, embed)
+    return nearest_code_xla(x, embed, mode)
 
 
 def orthogonal_loss(
@@ -396,6 +403,10 @@ class VectorQuantize(nn.Module):
     affine_param_batch_decay: float = 0.99
     affine_param_codebook_decay: float = 0.9
     return_zeros_for_masked_padding: bool = True
+    # nearest-neighbor search mode for THIS module instance (see
+    # vq_search_mode); None falls back to the DISTILCODEC_VQ_PRECISION env
+    # var so two differently-configured codecs coexist in one process
+    search_mode: str | None = None
 
     @property
     def _codebook_width(self) -> int:
@@ -651,7 +662,11 @@ class VectorQuantize(nn.Module):
                 )
                 dist = -sim  # keep "smaller is nearer" convention below
             else:
-                dist = pairwise_distance(flat, emb_dist)
+                dist = pairwise_distance(
+                    flat,
+                    emb_dist,
+                    precision=vq_matmul_precision(self.search_mode),
+                )
             logits = -dist
             stochastic = (
                 training
@@ -713,7 +728,7 @@ class VectorQuantize(nn.Module):
                 # DistilCodec.cache_int8_codebook (only valid when embed_c is
                 # the raw stored table — not affine-transformed)
                 if (
-                    vq_search_mode() == "INT8_CACHED"
+                    vq_search_mode(self.search_mode) == "INT8_CACHED"
                     and not self.affine_param
                     and self.has_variable("codebook", "embed_q")
                 ):
@@ -725,9 +740,17 @@ class VectorQuantize(nn.Module):
                         self.get_variable("codebook", "embed_norm2"),
                     )[None]
                 else:
-                    ind = nearest_code(flat[0], embed_c[0])[None]
-            elif vq_search_mode() in ("INT8", "INT8_FAST", "RESCORED"):
-                ind = jax.vmap(nearest_code_xla)(flat, embed_c)
+                    ind = nearest_code(flat[0], embed_c[0], self.search_mode)[
+                        None
+                    ]
+            elif vq_search_mode(self.search_mode) in (
+                "INT8",
+                "INT8_FAST",
+                "RESCORED",
+            ):
+                ind = jax.vmap(
+                    lambda f, e: nearest_code_xla(f, e, self.search_mode)
+                )(flat, embed_c)
             else:
                 e2 = jnp.sum(jnp.square(embed_c), axis=-1)  # (C, K)
                 xy = jnp.einsum(

@@ -53,10 +53,18 @@ class Discriminators(nn.Module):
     spectral-norm math stay fp32; the MS-STFT's STFT stays fp32) — halves the
     conv activation/gradient memory that dominates the train step's HBM and
     doubles the MXU rate.  Default fp32 = the reference's numerics (torch
-    trains discriminators outside the autocast region)."""
+    trains discriminators outside the autocast region).
+
+    ``grouped_conv`` / ``msstft_freq_pack`` are the exact-lowering recipe
+    switches (TrainConfig docstrings), threaded as module attributes so two
+    Trainers with different recipes coexist in one process; ``None`` falls
+    back to the DISTILCODEC_GROUPED_CONV / DISTILCODEC_MSSTFT_PACK env
+    overrides."""
 
     cfg: CodecConfig
     dtype: Any = None
+    grouped_conv: str | None = None
+    msstft_freq_pack: int | None = None
 
     @nn.compact
     def __call__(self, y: jnp.ndarray, y_hat: jnp.ndarray, *, update_stats: bool = False):
@@ -82,6 +90,7 @@ class Discriminators(nn.Module):
         override = msd_cfg.get("override_layers")
         msd = MultiScaleDiscriminator(
             layers=tuple(tuple(l) for l in override) if override else None,
+            grouped_conv_lowering=self.grouped_conv,
             name="msd",
         )
         msstft = MultiScaleSTFTDiscriminator(
@@ -89,6 +98,7 @@ class Discriminators(nn.Module):
             n_ffts=tuple(msstft_cfg.get("n_ffts", (1024, 2048, 512, 256, 128))),
             hop_lengths=tuple(msstft_cfg.get("hop_lengths", (256, 512, 128, 64, 32))),
             win_lengths=tuple(msstft_cfg.get("win_lengths", (1024, 2048, 512, 256, 128))),
+            freq_pack=self.msstft_freq_pack,
             name="msstft",
         )
 
@@ -101,6 +111,22 @@ class Discriminators(nn.Module):
             "msd": (s_rs, s_gs, s_fr, s_fg),
             "msstft": (st_r, st_g, st_fr, st_fg),
         }
+
+
+def _check_dtype(field: str, value: str | None) -> str | None:
+    """Validate a compute-dtype config string, naming the field on error
+    (a typo like --gen-dtype fp16 otherwise surfaces as a bare jnp.dtype
+    TypeError with no hint which knob was bad)."""
+    allowed = (None, "", "float32", "fp32", "bfloat16", "bf16")
+    if value not in allowed:
+        raise ValueError(
+            f"{field}={value!r}: expected one of "
+            "None/'float32'/'fp32'/'bfloat16'/'bf16' "
+            "(fp16 is not a supported TPU compute dtype here)"
+        )
+    if value in ("float32", "fp32"):
+        return None  # fp32 is the default compute mode
+    return value
 
 
 @flax.struct.dataclass
@@ -143,21 +169,12 @@ class Trainer:
     remat_discriminators: bool = False
 
     def __post_init__(self):
-        import os
-
-        # export the config's exact-lowering switches (read at trace time by
-        # the conv modules) so the production recipe is one config file,
-        # not a shell-environment incantation
-        if self.train_cfg.grouped_conv:
-            os.environ["DISTILCODEC_GROUPED_CONV"] = self.train_cfg.grouped_conv
-        if self.train_cfg.msstft_freq_pack:
-            os.environ["DISTILCODEC_MSSTFT_PACK"] = str(
-                self.train_cfg.msstft_freq_pack
-            )
         if self.disc_dtype is None:
             self.disc_dtype = self.train_cfg.disc_dtype
         if self.gen_dtype is None:
             self.gen_dtype = self.train_cfg.gen_dtype
+        self.gen_dtype = _check_dtype("gen_dtype", self.gen_dtype)
+        self.disc_dtype = _check_dtype("disc_dtype", self.disc_dtype)
         gdt = (self.gen_dtype or "").replace("bf16", "bfloat16")
         self.module = DistilCodecModule(
             self.codec_cfg,
@@ -179,8 +196,14 @@ class Trainer:
             f_max=spec.fmax,
         )
         ddt = (self.disc_dtype or "").replace("bf16", "bfloat16")
+        # the exact-lowering recipe switches ride as module attributes (not
+        # process env), so the production recipe is one config object and two
+        # Trainers with different recipes coexist in one process
         self.disc = Discriminators(
-            self.codec_cfg, dtype=jnp.dtype(ddt) if ddt else None
+            self.codec_cfg,
+            dtype=jnp.dtype(ddt) if ddt else None,
+            grouped_conv=self.train_cfg.grouped_conv or None,
+            msstft_freq_pack=self.train_cfg.msstft_freq_pack or None,
         )
         adam = self.train_cfg.adam
         schedule = lambda step: adam.learning_rate * (

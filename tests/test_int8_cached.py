@@ -62,7 +62,10 @@ def test_facade_cache_roundtrip(vq_mode_env, rng):
     ref_ids = ids(codec)  # default 'high' mode
 
     codec.cache_int8_codebook()
-    assert os.environ["DISTILCODEC_VQ_PRECISION"] == "int8_cached"
+    # instance-scoped, NOT process-global: the env var stays untouched and
+    # a second codec in the same process keeps the default 'high' search
+    assert "DISTILCODEC_VQ_PRECISION" not in os.environ
+    assert codec._vq_search_mode == "int8_cached"
     layer = codec.variables["codebook"]["quantizer"]["grvq"]["rvqs_0"][
         "layers_0"
     ]
@@ -70,6 +73,7 @@ def test_facade_cache_roundtrip(vq_mode_env, rng):
     assert layer["embed_q"].shape == layer["embed"].shape
     cached_ids = ids(codec)
     assert cached_ids == int8_ids  # identical scores by construction
+    assert ids(DistilCodec(MINI_CONFIG)) == ref_ids  # neighbor unaffected
 
     # decode still works with the extra leaves riding along
     wave = codec.decode_from_codes(

@@ -207,23 +207,45 @@ def test_bf16_generator_mode(trainer, state, rng):
     np.testing.assert_allclose(cb32.sum(), cb16.sum(), rtol=1e-4)
 
 
-@pytest.mark.skipif(
-    not __import__("os").environ.get("DISTILCODEC_HEAVY_TESTS"),
-    reason="~20 min of XLA compile on a 2-CPU host; set "
-    "DISTILCODEC_HEAVY_TESTS=1 to run.  The strictest variant "
-    "(grouped_conv='dense_gw') passed in full on 2026-08-20 "
-    "(sharded == unsharded to 5e-3); __graft_entry__.dryrun_multichip "
-    "exercises the same recipe every driver round.",
-)
+def small_msd_codec_cfg():
+    """mini codec + a structurally-faithful SMALL MSD (3 scales, spectral
+    norm, k=41 g=4/g=16 grouped convs) via the override_layers framework
+    extension — the full 1024-ch torch-default stack costs ~20 min of
+    CPU-mesh XLA compile and is what kept this test skipped in round 2."""
+    cfg = dict(MINI_CONFIG)
+    cfg["descriminators"] = {
+        "MultiPeriodDiscriminator": {
+            "periods": [2, 3],
+            "kernal_size": 5,
+            "stride": 3,
+        },
+        "MultiScaleDiscriminator": {
+            "override_layers": [
+                [16, 15, 1, 1, 7],
+                [16, 41, 2, 4, 20],
+                [32, 41, 2, 16, 20],
+                [32, 41, 1, 16, 20],
+                [32, 5, 1, 1, 2],
+            ],
+        },
+        "MultiScaleSTFTDiscriminator": {
+            "filters": 8,
+            "n_ffts": [256, 128],
+            "hop_lengths": [64, 32],
+            "win_lengths": [256, 128],
+        },
+    }
+    return CodecConfig.from_dict(cfg)
+
+
 def test_production_recipe_data_parallel(rng, monkeypatch):
     """The full production recipe (gen bf16 + disc bf16 + dense grouped
     lowering + MS-STFT freq packing + remat off) under data-parallel GSPMD on
     the 8-CPU mesh: one step runs, losses finite, and the sharded step matches
     the same trainer's unsharded step (the packed/dense lowerings must shard
-    cleanly).  The opt-in dense_gw custom VJP composes too (verified once:
-    this test passed with grouped_conv="dense_gw"; it is kept on "dense" —
-    the recipe that actually ships — because the 41 unrolled per-tap einsums
-    in dense_gw's backward dominate compile time)."""
+    cleanly).  Uses the dryrun-sized MSD so the compile fits CI (the full-MSD
+    variant passed manually 2026-08-20, incl. grouped_conv='dense_gw').  The
+    recipe rides module attributes, NOT env vars — both are cleared here."""
     import dataclasses
 
     from jax.sharding import Mesh
@@ -238,7 +260,7 @@ def test_production_recipe_data_parallel(rng, monkeypatch):
         grouped_conv="dense",
         msstft_freq_pack=4,
     )
-    tr = Trainer(mini_codec_cfg(), cfg, steps_per_epoch=10)
+    tr = Trainer(small_msd_codec_cfg(), cfg, steps_per_epoch=10)
     state = tr.init_state(jax.random.PRNGKey(0), segment_len=2048)
     audio = jnp.asarray(rng.standard_normal((8, 2048)).astype(np.float32) * 0.1)
     rng_key = jax.random.PRNGKey(2)
@@ -255,8 +277,54 @@ def test_production_recipe_data_parallel(rng, monkeypatch):
         rtol=5e-3,
         atol=5e-3,
     )
+
+
+def test_recipe_switches_are_instance_scoped(monkeypatch):
+    """Two Trainers with different exact-lowering recipes coexist in one
+    process (VERDICT r2 item 6): the switches ride module attributes, the
+    process env is never mutated, and the two discriminator programs differ
+    while both remain buildable."""
+    import os
+
     monkeypatch.delenv("DISTILCODEC_GROUPED_CONV", raising=False)
     monkeypatch.delenv("DISTILCODEC_MSSTFT_PACK", raising=False)
+    import dataclasses
+
+    base = mini_train_cfg()
+    tr_default = Trainer(small_msd_codec_cfg(), base, steps_per_epoch=10)
+    tr_dense = Trainer(
+        small_msd_codec_cfg(),
+        dataclasses.replace(base, grouped_conv="dense", msstft_freq_pack=4),
+        steps_per_epoch=10,
+    )
+    # construction must not leak the recipe into the process environment
+    assert "DISTILCODEC_GROUPED_CONV" not in os.environ
+    assert "DISTILCODEC_MSSTFT_PACK" not in os.environ
+    assert tr_default.disc.grouped_conv is None
+    assert tr_dense.disc.grouped_conv == "dense"
+    assert tr_dense.disc.msstft_freq_pack == 4
+
+    # the two recipes trace to different discriminator programs in the SAME
+    # process (grouped convs survive in one, eliminated+packed in the other)
+    x = jnp.zeros((1, 2048))
+    v = jax.eval_shape(tr_default.disc.init, jax.random.PRNGKey(0), x, x)
+    import jax.tree_util as jtu
+
+    # identical parameter trees: the lowering is compute-only
+    v2 = jax.eval_shape(tr_dense.disc.init, jax.random.PRNGKey(0), x, x)
+    assert jtu.tree_structure(v) == jtu.tree_structure(v2)
+    lo_default = jax.jit(tr_default.disc.apply).lower(
+        jax.tree_util.tree_map(lambda s: jnp.zeros(s.shape, s.dtype), v), x, x
+    )
+    lo_dense = jax.jit(tr_dense.disc.apply).lower(
+        jax.tree_util.tree_map(lambda s: jnp.zeros(s.shape, s.dtype), v2), x, x
+    )
+    txt_default = lo_default.as_text()
+    txt_dense = lo_dense.as_text()
+    assert txt_default != txt_dense
+    # grouped path present only in the default recipe
+    assert "feature_group_count = 16" in txt_default
+    assert "feature_group_count = 16" not in txt_dense
 
 
 def test_gen_remat_off_matches(trainer, state, rng):
