@@ -174,6 +174,49 @@ def measure_baseline(iters: int = 1) -> dict:
     }
 
 
+def _run_json_subprocess(cmd: list, timeout_s: float) -> dict | None:
+    """Run a bench subprocess and parse its last JSON stdout line.
+
+    Each measurement runs in its OWN process because only one process may
+    hold the tunneled TPU at a time (a second silently contends) — the
+    orchestrating parent never imports jax."""
+    import subprocess
+
+    try:
+        out = subprocess.run(
+            cmd, capture_output=True, text=True, timeout=timeout_s
+        )
+    except subprocess.TimeoutExpired:
+        return None
+    for line in reversed(out.stdout.strip().splitlines()):
+        line = line.strip()
+        if line.startswith("{"):
+            try:
+                return json.loads(line)
+            except json.JSONDecodeError:
+                return None
+    return None
+
+
+# the round-2 production training recipe: bf16 generator+discriminator
+# compute, dense grouped-conv lowering, MS-STFT freq packing, remat off
+# (DESIGN.md "Training"; measured 46.4 train-au-s/s/chip at b16x72000)
+TRAIN_BENCH_CMD = [
+    "bench_train.py",
+    "--batch",
+    "16",
+    "--gen-dtype",
+    "bfloat16",
+    "--disc-dtype",
+    "bfloat16",
+    "--no-gen-remat",
+    "--grouped-conv",
+    "dense",
+    "--msstft-pack",
+    "4",
+]
+
+
 def main():
     if "--measure-baseline" in sys.argv:
         result = measure_baseline()
@@ -182,25 +225,63 @@ def main():
         print(json.dumps(result))
         return
 
-    ours = bench_ours(fused="--dispatch-per-iter" not in sys.argv)
+    if "--roundtrip-only" in sys.argv or "--dispatch-per-iter" in sys.argv:
+        ours = bench_ours(fused="--dispatch-per-iter" not in sys.argv)
+        print(json.dumps(ours), flush=True)
+        return
+
+    # Orchestrator (the driver's entry point): round-trip first — the
+    # primary, most robust metric — then the training-step throughput
+    # (VERDICT r2: driver-visible perf must reflect training progress too).
+    here = os.path.dirname(os.path.abspath(__file__))
+    rt = _run_json_subprocess(
+        [sys.executable, os.path.join(here, "bench.py"), "--roundtrip-only"],
+        timeout_s=float(os.environ.get("DISTILCODEC_BENCH_RT_TIMEOUT", 1800)),
+    )
+    # the train step is cold-compile-expensive on the tunneled backend
+    # (~27 min uncached); the persistent compile cache makes re-runs ~3 min.
+    # Cap it so a cold cache degrades to train=null instead of eating the
+    # driver's whole bench budget.
+    train = _run_json_subprocess(
+        [sys.executable, os.path.join(here, TRAIN_BENCH_CMD[0])]
+        + TRAIN_BENCH_CMD[1:],
+        timeout_s=float(
+            os.environ.get("DISTILCODEC_BENCH_TRAIN_TIMEOUT", 900)
+        ),
+    )
+
+    if train is not None:
+        print(
+            json.dumps(
+                {
+                    "metric": "GAN train-step throughput per chip",
+                    "value": train.get("value"),
+                    "unit": "audio-seconds/s/chip",
+                    "vs_baseline": None,  # the reference ships no train loop
+                    "step_time_s": train.get("step_time_s"),
+                    "batch": train.get("batch"),
+                }
+            ),
+            flush=True,
+        )
+
     baseline_rate = None
     if os.path.exists(BASELINE_FILE):
         with open(BASELINE_FILE) as f:
             baseline_rate = json.load(f).get("audio_seconds_per_s")
-    vs = (
-        ours["audio_seconds_per_s"] / baseline_rate
-        if baseline_rate
-        else None
-    )
+    rt_rate = rt.get("audio_seconds_per_s") if rt else None
+    vs = rt_rate / baseline_rate if (rt_rate and baseline_rate) else None
     print(
         json.dumps(
             {
                 "metric": "encode+decode round-trip throughput per chip",
-                "value": round(ours["audio_seconds_per_s"], 2),
+                "value": round(rt_rate, 2) if rt_rate else None,
                 "unit": "audio-seconds/s/chip",
                 "vs_baseline": round(vs, 2) if vs else None,
+                "train_au_s_per_chip": train.get("value") if train else None,
             }
-        )
+        ),
+        flush=True,
     )
 
 

@@ -62,17 +62,51 @@ def save_wav(path: str, audio: np.ndarray, sample_rate: int) -> None:
     wavfile.write(path, sample_rate, pcm)
 
 
-def resample(audio: np.ndarray, orig_sr: int, target_sr: int) -> np.ndarray:
-    """Polyphase resampling (librosa.resample equivalent role; the exact
-    filter differs from librosa's soxr default — see SURVEY §7 hard part 1)."""
+def resample(
+    audio: np.ndarray,
+    orig_sr: int,
+    target_sr: int,
+    method: str = "poly",
+) -> np.ndarray:
+    """Rational-rate resampling (librosa.resample's role in the reference
+    pipeline, distil_codec.py:657-684).
+
+    * ``poly`` (default) — scipy ``resample_poly`` with its default
+      Kaiser(beta=5) design: the fast pipeline filter.
+    * ``kaiser_best`` — a librosa/resampy ``kaiser_best``-class design
+      (64 zero-crossings, Kaiser beta 14.7697, rolloff 0.9475): the
+      high-attenuation linear-phase sinc family librosa's classic resampler
+      and soxr-HQ belong to.  Use for parity comparisons against the
+      reference's librosa path (soxr itself is unavailable offline; the
+      measured token flip rate between these two designs bounds the
+      resampler-choice sensitivity — tests/test_resampler_parity.py).
+    """
     if orig_sr == target_sr:
         return audio
     from scipy.signal import resample_poly
 
     g = math.gcd(orig_sr, target_sr)
-    return resample_poly(audio, target_sr // g, orig_sr // g, axis=-1).astype(
-        np.float32
-    )
+    up, down = target_sr // g, orig_sr // g
+    if method == "poly":
+        return resample_poly(audio, up, down, axis=-1).astype(np.float32)
+    if method == "kaiser_best":
+        from scipy.signal import firwin
+
+        # resampy kaiser_best constants (Smith's windowed-sinc method):
+        # 64 zero-crossings at the lower rate, rolloff 0.9475, beta 14.7697.
+        num_zeros, rolloff, beta = 64, 0.9475, 14.769656459379492
+        max_rate = max(up, down)
+        taps = firwin(
+            2 * num_zeros * max_rate + 1,
+            rolloff / max_rate,
+            window=("kaiser", beta),
+        )
+        # resample_poly scales an array window by ``up`` itself (verified:
+        # unity-DC taps give passband gain 1.0 without extra scaling)
+        return resample_poly(audio, up, down, axis=-1, window=taps).astype(
+            np.float32
+        )
+    raise ValueError(f"unknown resample method {method!r}")
 
 
 def load_and_resample_audio(
