@@ -198,9 +198,12 @@ def _run_json_subprocess(cmd: list, timeout_s: float) -> dict | None:
     return None
 
 
-# the round-2 production training recipe: bf16 generator+discriminator
-# compute, dense grouped-conv lowering, MS-STFT freq packing, remat off
-# (DESIGN.md "Training"; measured 46.4 train-au-s/s/chip at b16x72000)
+# the round-3 production training recipe: bf16 generator+discriminator
+# compute, tile-grouped (dense128) MSD conv lowering, MS-STFT freq packing,
+# remat off.  Measured 56.11 train-au-s/s/chip at b16x72000 (0.855 s/step)
+# vs 45.91 with round 2's dense lowering — the 128-channel tile-diagonal
+# form keeps full lane alignment at 2-8x fewer FLOPs on the Cin>=256 MSD
+# layers (ops/conv1d.py grouped_to_tile_grouped_kernel).
 TRAIN_BENCH_CMD = [
     "bench_train.py",
     "--batch",
@@ -211,7 +214,7 @@ TRAIN_BENCH_CMD = [
     "bfloat16",
     "--no-gen-remat",
     "--grouped-conv",
-    "dense",
+    "dense128",
     "--msstft-pack",
     "4",
 ]

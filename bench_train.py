@@ -50,7 +50,7 @@ def main():
     ap.add_argument(
         "--grouped-conv",
         default=None,
-        choices=[None, "grouped", "dense", "dense_gw"],
+        choices=[None, "grouped", "dense", "dense128", "dense_gw"],
         help="MSD grouped-conv lowering (production recipe: dense)",
     )
     ap.add_argument(

@@ -183,9 +183,18 @@ class Conv1d(nn.Module):
                 dense_grouped_conv,
                 grouped_lowering,
                 grouped_to_dense_kernel,
+                grouped_to_tile_grouped_kernel,
             )
 
             low = self.grouped_conv_lowering or grouped_lowering()
+            if low == "dense128":
+                if in_ch % 128 == 0 and groups % (in_ch // 128) == 0:
+                    kernel, groups = grouped_to_tile_grouped_kernel(
+                        kernel, groups
+                    )
+                else:  # structure doesn't embed in 128-tiles: plain dense
+                    kernel = grouped_to_dense_kernel(kernel, groups)
+                    groups = 1
             if low == "dense_gw":
                 y = dense_grouped_conv(
                     x.astype(dtype),

@@ -194,9 +194,18 @@ class SNConv1d(nn.Module):
                 dense_grouped_conv,
                 grouped_lowering,
                 grouped_to_dense_kernel,
+                grouped_to_tile_grouped_kernel,
             )
 
             low = self.grouped_conv_lowering or grouped_lowering()
+            if low == "dense128":
+                if in_ch % 128 == 0 and groups % (in_ch // 128) == 0:
+                    kernel, groups = grouped_to_tile_grouped_kernel(
+                        kernel, groups
+                    )
+                    low = "grouped"  # proceed with the regrouped conv
+                else:
+                    low = "dense"
             if low == "dense_gw":
                 y = dense_grouped_conv(
                     x,

@@ -328,16 +328,70 @@ def grouped_lowering() -> str:
       batch-minor tile-padded gradient buffers of the grouped path (the
       training-memory OOM driver at large batch) and fills all 128 MXU
       lanes.  Read at trace time.
+    * ``dense128`` — tile-grouped lowering via
+      :func:`grouped_to_tile_grouped_kernel`: block-diagonal dense at
+      128-input-channel granularity (``feature_group_count = Cin/128``).
+      Keeps the dense path's full lane alignment — every conv group is
+      exactly one 128-lane tile — while computing only the diagonal 128-
+      tiles of the dense product: 2-8x fewer FLOPs than ``dense`` on the
+      MSD's Cin>=256 layers, in the forward AND both gradients.  Since the
+      MXU's native output tile is 128x128, per-true-group math (Ci<=64)
+      cannot use the array any better than this — the tile-diagonal form is
+      the practical MXU floor for these shapes, which is why this lowering
+      supersedes the planned handwritten Pallas wgrad kernel (whose only
+      remaining edge, tap-resident activation reuse, is worth ~1-15 ms of
+      HBM traffic against the MSD's ~GB/s-scale budget).  Falls back to
+      ``dense`` where Cin % 128 != 0 or the group structure doesn't embed.
     * ``dense_gw`` — same dense forward and input-gradient, but the WEIGHT
       gradient is computed directly in the small grouped layout
       (:func:`dense_grouped_conv`): the dense path's wgrad is a full
       (K, Cin, Cout) gradient conv whose off-block-diagonal results are
       discarded by the mask — ``groups``x wasted FLOPs (the D-phase
       discriminator budget, DESIGN.md "Training-step attribution").
+      Measured NEGATIVE (TODO.md): kept opt-in.
     """
     import os
 
     return os.environ.get("DISTILCODEC_GROUPED_CONV", "grouped")
+
+
+def grouped_to_tile_grouped_kernel(
+    kernel: jnp.ndarray, groups: int, tile: int = 128
+) -> tuple[jnp.ndarray, int]:
+    """Expand a grouped-conv kernel (K, Cin/g, Cout) into the equivalent
+    TILE-grouped kernel (K, tile, Cout) + its ``feature_group_count``.
+
+    The ``dense`` lowering exists because XLA's gradient decomposition of
+    small-group convs (Cin/g < 128) materializes lane-starved, batch-minor
+    tile-padded buffers.  But full dense wastes ``groups``x FLOPs.  Middle
+    ground: regroup to g2 = Cin//tile conv groups of exactly 128 input
+    channels each — r = groups/g2 true groups ride inside each tile block,
+    dense within the block (structural zeros between them), disjoint across
+    blocks.  Same values and gradients as the grouped conv; r x (not
+    groups x) FLOP overhead; every activation/gradient buffer is 128-lane
+    aligned.
+
+    torch channel convention as in :func:`grouped_to_dense_kernel`: true
+    group h owns input channels [h*Ci, (h+1)*Ci) and output channels
+    [h*outg, (h+1)*outg); conv group j = h // r covers input tile
+    [j*tile, (j+1)*tile), inside which h sits at local offset (h%r)*Ci.
+    """
+    k, ci, cout = kernel.shape
+    cin = ci * groups
+    assert cin % tile == 0 and cout % groups == 0
+    g2 = cin // tile
+    assert groups % g2 == 0
+    r = groups // g2
+    outg = cout // groups
+    w4 = kernel.reshape(k, ci, groups, outg)
+    # route[m, h] = 1 iff true group h sits at within-block slot m
+    route = jnp.zeros((r, groups), kernel.dtype)
+    route = route.at[
+        jnp.arange(groups) % r, jnp.arange(groups)
+    ].set(jnp.ones((groups,), kernel.dtype))
+    # (k, m, i, h, q) -> (k, r*Ci = tile, groups*outg = Cout)
+    w = jnp.einsum("kihq,mh->kmihq", w4, route)
+    return w.reshape(k, tile, cout), g2
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6))

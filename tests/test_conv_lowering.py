@@ -229,6 +229,120 @@ def test_grouped_dense_lowering_matches(rng, monkeypatch):
     jax.clear_caches()
 
 
+@pytest.mark.parametrize(
+    "cin,cout,groups,k,stride",
+    [
+        (256, 512, 16, 41, 4),  # MSD layer 4 structure (g2=2, r=8)
+        (512, 1024, 16, 41, 4),  # MSD layer 5 (g2=4, r=4)
+        (1024, 1024, 16, 5, 1),  # MSD layer 6/7 family (g2=8, r=2)
+        (128, 128, 4, 5, 2),  # Cin=128 -> g2=1: degenerates to dense
+        (96, 96, 4, 5, 1),  # Cin%128 != 0: falls back to plain dense
+    ],
+)
+def test_grouped_dense128_lowering_matches(
+    rng, monkeypatch, cin, cout, groups, k, stride
+):
+    """grouped_conv='dense128' (tile-grouped lowering): block-diagonal dense
+    at 128-input-channel granularity == the true grouped conv, values and
+    gradients, across the real MSD layer structures."""
+    import jax
+    import jax.numpy as jnp
+
+    from distilcodec_nabeel_tpu.models.blocks import Conv1d
+    from distilcodec_nabeel_tpu.ops.conv1d import (
+        grouped_to_tile_grouped_kernel,
+    )
+
+    # kernel-level identity where the structure embeds
+    w = jnp.asarray(
+        rng.standard_normal((k, cin // groups, cout)).astype(np.float32)
+    )
+    x = jnp.asarray(rng.standard_normal((2, 96, cin)).astype(np.float32))
+    pad = k // 2
+    ref = jax.lax.conv_general_dilated(
+        x,
+        w,
+        (stride,),
+        [(pad, pad)],
+        dimension_numbers=("NHC", "HIO", "NHC"),
+        feature_group_count=groups,
+    )
+    if cin % 128 == 0 and groups % (cin // 128) == 0:
+        wt, g2 = grouped_to_tile_grouped_kernel(w, groups)
+        assert wt.shape == (k, 128, cout) and g2 == cin // 128
+        got = jax.lax.conv_general_dilated(
+            x,
+            wt,
+            (stride,),
+            [(pad, pad)],
+            dimension_numbers=("NHC", "HIO", "NHC"),
+            feature_group_count=g2,
+        )
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(ref), atol=3e-4, rtol=2e-5
+        )
+
+    # module-level (covers the fallback paths), values + gradients
+    conv = Conv1d(cout, k, stride=stride, padding=pad, groups=groups,
+                  use_weight_norm=True)
+    variables = conv.init(jax.random.PRNGKey(0), x)
+
+    def loss(v, xx):
+        return jnp.sum(jnp.square(conv.apply(v, xx)))
+
+    y_ref = conv.apply(variables, x)
+    g_ref = jax.grad(loss)(variables, x)
+    monkeypatch.setenv("DISTILCODEC_GROUPED_CONV", "dense128")
+    jax.clear_caches()
+    y_t = conv.apply(variables, x)
+    g_t = jax.grad(loss)(variables, x)
+    np.testing.assert_allclose(
+        np.asarray(y_t), np.asarray(y_ref), atol=3e-4, rtol=2e-5
+    )
+    for a, b in zip(
+        jax.tree_util.tree_leaves(g_t), jax.tree_util.tree_leaves(g_ref)
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=2e-3, rtol=2e-5
+        )
+    monkeypatch.delenv("DISTILCODEC_GROUPED_CONV")
+    jax.clear_caches()
+
+
+def test_grouped_dense128_snconv_matches(rng, monkeypatch):
+    """The spectral-normed MSD conv path honors dense128 too (module
+    attribute, no env)."""
+    import jax
+    import jax.numpy as jnp
+
+    from distilcodec_nabeel_tpu.models.discriminators import SNConv1d
+
+    x = jnp.asarray(rng.standard_normal((2, 64, 256)).astype(np.float32))
+    ref_conv = SNConv1d(512, 41, stride=4, padding=20, groups=16)
+    t_conv = SNConv1d(
+        512, 41, stride=4, padding=20, groups=16,
+        grouped_conv_lowering="dense128",
+    )
+    variables = ref_conv.init(jax.random.PRNGKey(0), x)
+    y_ref = ref_conv.apply(variables, x)
+    y_t = t_conv.apply(variables, x)
+    np.testing.assert_allclose(
+        np.asarray(y_t), np.asarray(y_ref), atol=3e-4, rtol=2e-5
+    )
+
+    def loss(conv, v, xx):
+        return jnp.sum(jnp.square(conv.apply(v, xx)))
+
+    g_ref = jax.grad(lambda v: loss(ref_conv, v, x))(variables)
+    g_t = jax.grad(lambda v: loss(t_conv, v, x))(variables)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(g_t), jax.tree_util.tree_leaves(g_ref)
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=2e-3, rtol=2e-5
+        )
+
+
 def test_grouped_dense_gw_lowering_matches(rng, monkeypatch):
     """DISTILCODEC_GROUPED_CONV=dense_gw: primal identical to the dense
     lowering (same block-diag dense conv), dx identical, and the grouped
