@@ -271,19 +271,29 @@ class Conv1d(nn.Module):
         return y.astype(dtype)
 
 
-def _resblock_pack(channels: int, length: int) -> int:
+def _resblock_pack(channels: int, length: int, maxc: int | None = None) -> int:
     """Time-packing factor for small-channel residual stacks.
 
     C=32 on a 128-lane MXU runs at 2-5 TFLOP/s; packing 4 samples into the
     channel dim reaches ~28 ms vs 209 ms for the flagship final HiFiGAN
     stage (v5e, B=16, L=240128).  C>=64 measured faster unpacked (the
     packed kernel's structural zeros outgrow the lane-fill win), so packing
-    applies below that.  ``DISTILCODEC_PACK_RESBLOCKS=0`` disables."""
+    applies below that by default.  ``maxc`` (or the
+    ``DISTILCODEC_PACK_RESBLOCKS_MAXC`` env fallback) raises the channel
+    cutoff: the INFERENCE decode passes 64 — packing the C=64 stage at f=2
+    measured 633.8 -> 643.2 au-s/s/chip on the full round trip (r3; the r2
+    per-stage decode measurement was a wash, the end-to-end one is not).
+    Training keeps the default so the train-step program (and its compile
+    cache) is unchanged.  ``DISTILCODEC_PACK_RESBLOCKS=0`` disables."""
     import os
 
     if os.environ.get("DISTILCODEC_PACK_RESBLOCKS", "1") == "0":
         return 1
-    if channels >= 64 or channels <= 0 or 128 % channels:
+    if maxc is None:
+        maxc = int(
+            os.environ.get("DISTILCODEC_PACK_RESBLOCKS_MAXC", "63") or 63
+        )
+    if channels > maxc or channels <= 0 or 128 % channels:
         return 1
     f = min(128 // channels, 8)
     while f > 1 and length % f:
@@ -325,6 +335,8 @@ class ConvTranspose1d(nn.Module):
     use_weight_norm: bool = False
     kernel_init: nn.initializers.Initializer = _trunc02
     dtype: jnp.dtype | None = None
+    # packed-output channel cutoff override (see _resblock_pack)
+    pack_maxc: int | None = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -344,7 +356,7 @@ class ConvTranspose1d(nn.Module):
         dtype = self.dtype or x.dtype
         # small-C_out upsamples underfill MXU lanes; emit f_out packed output
         # samples per frame instead (ops.conv1d.conv_transpose1d_packed)
-        f_out = _resblock_pack(self.features, 0)
+        f_out = _resblock_pack(self.features, 0, self.pack_maxc)
         while f_out > 1 and (
             f_out % self.stride or x.shape[1] % (f_out // self.stride)
         ):
@@ -492,11 +504,14 @@ class ParallelBlock(nn.Module):
     kernel_sizes: Sequence[int] = (3, 7, 11)
     dilation_sizes: Sequence[Sequence[int]] = ((1, 3, 5), (1, 3, 5), (1, 3, 5))
     dtype: jnp.dtype | None = None
+    # time-packing channel cutoff override (None -> 63 / env); the inference
+    # decode passes 64 (see _resblock_pack)
+    pack_maxc: int | None = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         B, T, C = x.shape
-        f = _resblock_pack(C, T)
+        f = _resblock_pack(C, T, self.pack_maxc)
         if f > 1:
             # run the whole stack time-packed: one relayout in, one out;
             # every conv sees f*C-lane matmuls (ops.conv1d_packed_frames)

@@ -67,6 +67,7 @@ class HiFiGANGenerator(nn.Module):
                 padding=(k - u) // 2,
                 use_weight_norm=True,
                 dtype=self.dtype,
+                pack_maxc=None if training else 64,
                 name=f"ups_{i}",
             )(x)
             if cfg.use_template and template is not None:
@@ -87,6 +88,10 @@ class HiFiGANGenerator(nn.Module):
                 cfg.resblock_kernel_sizes,
                 cfg.resblock_dilation_sizes,
                 dtype=self.dtype,
+                # inference packs the C=64 stage too (633.8 -> 643.2
+                # au-s/s round trip); training keeps the default cutoff so
+                # the train-step program is unchanged (blocks._resblock_pack)
+                pack_maxc=None if training else 64,
                 name=f"resblocks_{i}",
             )
             if training and self.remat:
