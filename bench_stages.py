@@ -30,6 +30,10 @@ def timed_ms(fn, args, k1: int, k2: int) -> float:
     fn receives the step index i and must fold it into its inputs (so the
     compiler cannot hoist the body out of the scan); it returns any array,
     summed into the carried scalar that the host fetch forces.
+
+    Pass module VARIABLES through ``args``, never close over them: closed-over
+    weights become program constants, and the 300 MB encoder table blows the
+    axon relay's remote-compile body limit (HTTP 413, seen r3).
     """
     import jax
     import jax.numpy as jnp
@@ -117,8 +121,8 @@ def main():
     rec(
         "mel",
         timed_ms(
-            lambda i, a: mod.apply(variables, perturbed(a, i), method="mel"),
-            (audio,),
+            lambda i, v, a: mod.apply(v, perturbed(a, i), method="mel"),
+            (variables, audio),
             k1,
             k2,
         ),
@@ -127,10 +131,10 @@ def main():
     rec(
         "encoder",
         timed_ms(
-            lambda i, m: mod.apply(
-                variables, perturbed(m, i), method=lambda md, y: md.encoder(y)
+            lambda i, v, m: mod.apply(
+                v, perturbed(m, i), method=lambda md, y: md.encoder(y)
             ),
-            (mel,),
+            (variables, mel),
             k1,
             k2,
         ),
@@ -139,12 +143,12 @@ def main():
     rec(
         "vq_search(encode)",
         timed_ms(
-            lambda i, e: mod.apply(
-                variables,
+            lambda i, v, e: mod.apply(
+                v,
                 perturbed(e, i),
                 method=lambda md, y: md.quantizer.encode(y),
             ).astype(jnp.float32),
-            (enc,),
+            (variables, enc),
             k1,
             k2,
         ),
@@ -153,12 +157,12 @@ def main():
     rec(
         "codebook_decode",
         timed_ms(
-            lambda i, c: mod.apply(
-                variables,
+            lambda i, v, c: mod.apply(
+                v,
                 (c + (i % 2)) % K,
                 method=lambda md, y: md.quantizer.decode(y),
             ),
-            (codes,),
+            (variables, codes),
             k1,
             k2,
         ),
@@ -167,12 +171,12 @@ def main():
     rec(
         "generator(full)",
         timed_ms(
-            lambda i, f: mod.apply(
-                variables,
+            lambda i, v, f: mod.apply(
+                v,
                 perturbed(f, i),
                 method=lambda md, y: md.generator(y),
             ),
-            (feats,),
+            (variables, feats),
             k1,
             k2,
         ),
@@ -206,8 +210,8 @@ def main():
         rec(
             "gen.conv_pre",
             timed_ms(
-                lambda i, y: conv_pre.apply(vpre, perturbed(y, i)),
-                (x,),
+                lambda i, v, y: conv_pre.apply(v, perturbed(y, i)),
+                (vpre, x),
                 k1,
                 k2,
             ),
@@ -227,8 +231,8 @@ def main():
             rec(
                 f"gen.ups_{si}(x{u})",
                 timed_ms(
-                    lambda i, y, m=ct, v=vct: m.apply(v, silu(perturbed(y, i))),
-                    (x,),
+                    lambda i, v, y, m=ct: m.apply(v, silu(perturbed(y, i))),
+                    (vct, x),
                     k1,
                     k2,
                 ),
@@ -245,8 +249,8 @@ def main():
             rec(
                 f"gen.resblocks_{si}(C={ch})",
                 timed_ms(
-                    lambda i, y, m=blk, v=vblk: m.apply(v, perturbed(y, i)),
-                    (x,),
+                    lambda i, v, y, m=blk: m.apply(v, perturbed(y, i)),
+                    (vblk, x),
                     k1,
                     k2,
                 ),
@@ -266,15 +270,19 @@ def main():
         )
         vpost = {"params": gparams["conv_post"]}
 
-        def post_fn(i, y):
+        def post_fn(i, v, y):
             z = silu(perturbed(y, i))
             Bq, Tq, Cq = z.shape
             if f > 1:
                 z = z.reshape(Bq, Tq // f, f * Cq)
-            z = post.apply(vpost, z)
+            z = post.apply(v, z)
             return jnp.tanh(z.astype(jnp.float32))
 
-        rec("gen.conv_post+tanh", timed_ms(post_fn, (x,), k1, k2), x.shape)
+        rec(
+            "gen.conv_post+tanh",
+            timed_ms(post_fn, (vpost, x), k1, k2),
+            x.shape,
+        )
 
     total = sum(r["ms"] for r in report if not r["stage"].startswith("gen."))
     print(

@@ -121,9 +121,12 @@ def main():
         print(json.dumps({"stage": stage, "ms": round(ms, 2)}), flush=True)
 
     # ---------------- generator (codec) forward, training mode, no EMA
-    def gen_fwd(i, a):
+    # NOTE: state params ride through timed_ms args, never closures — closed-
+    # over weights become program constants and the ~GB serialized body blows
+    # the axon relay's remote-compile limit (HTTP 413 / broken pipe, r3)
+    def gen_fwd(i, gp, cb, a):
         out, _ = trainer.module.apply(
-            {"params": state.gen_params, "codebook": state.codebook},
+            {"params": gp, "codebook": cb},
             pert(a, i),
             training=True,
             update_ema=False,
@@ -134,7 +137,12 @@ def main():
         return y_hat, result.commitment_loss
 
     if "gen_fwd" in stages:
-        rec("gen_fwd(train mode)", timed_ms(gen_fwd, (audio,), k1, k2))
+        rec(
+            "gen_fwd(train mode)",
+            timed_ms(
+                gen_fwd, (state.gen_params, state.codebook, audio), k1, k2
+            ),
+        )
 
     # materialize a fake y_hat for discriminator timing (right shape/dtype)
     y_hat = jnp.asarray(
@@ -191,10 +199,10 @@ def main():
             rec(
                 f"{name}_fwd",
                 timed_ms(
-                    lambda i, a, b, fn=fn, params=params: fn(
+                    lambda i, params, a, b, fn=fn: fn(
                         params, pert(a, i), pert(b, i)
                     )[:2],
-                    (y, y_hat),
+                    (params, y, y_hat),
                     k1,
                     k2,
                 ),
@@ -209,17 +217,17 @@ def main():
             rec(
                 f"{name}_dgrad",
                 timed_ms(
-                    lambda i, a, b, params=params, d_loss=d_loss: jax.value_and_grad(
+                    lambda i, params, a, b, d_loss=d_loss: jax.value_and_grad(
                         d_loss
                     )(params, pert(a, i), pert(b, i)),
-                    (y, y_hat),
+                    (params, y, y_hat),
                     k1,
                     k2,
                 ),
             )
         if f"{name}_ggrad" in stages:
             # G phase: fwd + bwd w.r.t. y_hat through adv + FM losses
-            def g_loss(b, a, fn=fn, params=params):
+            def g_loss(b, params, a, fn=fn):
                 rs, gs, fr, fg = fn(params, a, b)
                 adv, _ = generator_loss(gs)
                 return adv + feature_loss(fr, fg)
@@ -227,10 +235,10 @@ def main():
             rec(
                 f"{name}_ggrad",
                 timed_ms(
-                    lambda i, a, b, g_loss=g_loss: jax.grad(g_loss)(
-                        pert(b, i), pert(a, i)
+                    lambda i, params, a, b, g_loss=g_loss: jax.grad(g_loss)(
+                        pert(b, i), params, pert(a, i)
                     ),
-                    (y, y_hat),
+                    (params, y, y_hat),
                     k1,
                     k2,
                 ),
@@ -239,10 +247,10 @@ def main():
     # ---------------- generator fwd + backward pullback (fixed cotangent)
     if "gen_vjp" in stages:
 
-        def gen_vjp(i, a, ct):
+        def gen_vjp(i, gp, cb, a, ct):
             def f(p):
                 out, _ = trainer.module.apply(
-                    {"params": p, "codebook": state.codebook},
+                    {"params": p, "codebook": cb},
                     pert(a, i),
                     training=True,
                     update_ema=False,
@@ -251,14 +259,22 @@ def main():
                 )
                 return out[0]
 
-            y_out, vjp = jax.vjp(f, state.gen_params)
+            y_out, vjp = jax.vjp(f, gp)
             (g,) = vjp(ct + y_out * 1e-9)
             return jax.tree_util.tree_leaves(g)[0]
 
         ct = jnp.asarray(
             rng.standard_normal((args.batch, wave_len)).astype(np.float32)
         )
-        rec("gen_vjp(fwd+bwd)", timed_ms(gen_vjp, (audio, ct), k1, k2))
+        rec(
+            "gen_vjp(fwd+bwd)",
+            timed_ms(
+                gen_vjp,
+                (state.gen_params, state.codebook, audio, ct),
+                k1,
+                k2,
+            ),
+        )
 
     if "mel_grad" in stages:
         rec(
@@ -285,9 +301,9 @@ def main():
             ).astype(np.float32)
         )
 
-        def ema(i, z):
+        def ema(i, gp, cb, z):
             _, mut = trainer.module.apply(
-                {"params": state.gen_params, "codebook": state.codebook},
+                {"params": gp, "codebook": cb},
                 pert(z, i),
                 training=True,
                 update_ema=True,
@@ -296,16 +312,21 @@ def main():
             )
             return jax.tree_util.tree_leaves(mut)[0]
 
-        rec("ema_transition", timed_ms(ema, (lat,), k1, k2))
+        rec(
+            "ema_transition",
+            timed_ms(
+                ema, (state.gen_params, state.codebook, lat), k1, k2
+            ),
+        )
 
     # ---------------- full step (fwd+bwd+both adam updates, EMA transition)
     if "full_step" in stages:
 
-        def full(i, a):
-            st, metrics = trainer.train_step(state, pert(a, i), jax.random.PRNGKey(0))
+        def full(i, st, a):
+            st2, metrics = trainer.train_step(st, pert(a, i), jax.random.PRNGKey(0))
             return metrics["g_loss/total"]
 
-        rec("full_step", timed_ms(full, (audio,), k1, k2))
+        rec("full_step", timed_ms(full, (state, audio), k1, k2))
 
 
 if __name__ == "__main__":
