@@ -295,6 +295,12 @@ def _resblock_pack(channels: int, length: int, maxc: int | None = None) -> int:
         )
     if channels > maxc or channels <= 0 or 128 % channels:
         return 1
+    if channels >= 64 and 0 < length < 32768:
+        # the C=64 f=2 packing wins at batch-decode lengths (T≈120k:
+        # 633.8 -> 643.6 au-s/s) but LOSES on small streaming chunks
+        # (T≈4k: decode 35.4 -> 42.0 ms/chunk — the relayouts outweigh the
+        # lane fill at tiny T), so it is length-gated (r3 measurements)
+        return 1
     f = min(128 // channels, 8)
     while f > 1 and length % f:
         f //= 2
@@ -356,7 +362,9 @@ class ConvTranspose1d(nn.Module):
         dtype = self.dtype or x.dtype
         # small-C_out upsamples underfill MXU lanes; emit f_out packed output
         # samples per frame instead (ops.conv1d.conv_transpose1d_packed)
-        f_out = _resblock_pack(self.features, 0, self.pack_maxc)
+        f_out = _resblock_pack(
+            self.features, x.shape[1] * self.stride, self.pack_maxc
+        )
         while f_out > 1 and (
             f_out % self.stride or x.shape[1] % (f_out // self.stride)
         ):
