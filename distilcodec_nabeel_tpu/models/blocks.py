@@ -128,7 +128,7 @@ class Conv1d(nn.Module):
     # ops.conv1d.conv1d_packed_frames.  Param shapes/names are unchanged.
     pack: int = 1
     # non-depthwise grouped-conv lowering for THIS instance
-    # ('grouped'|'dense'|'dense_gw'); None falls back to the
+    # ('grouped'|'dense'|'dense128'|'dense_gw'); None falls back to the
     # DISTILCODEC_GROUPED_CONV env var (ops.conv1d.grouped_lowering)
     grouped_conv_lowering: str | None = None
 
@@ -188,13 +188,15 @@ class Conv1d(nn.Module):
 
             low = self.grouped_conv_lowering or grouped_lowering()
             if low == "dense128":
+                # normalize low after regrouping (mirrors SNConv1d) so the
+                # branches below read identically in both implementations
                 if in_ch % 128 == 0 and groups % (in_ch // 128) == 0:
                     kernel, groups = grouped_to_tile_grouped_kernel(
                         kernel, groups
                     )
+                    low = "grouped"  # proceed with the regrouped conv
                 else:  # structure doesn't embed in 128-tiles: plain dense
-                    kernel = grouped_to_dense_kernel(kernel, groups)
-                    groups = 1
+                    low = "dense"
             if low == "dense_gw":
                 y = dense_grouped_conv(
                     x.astype(dtype),

@@ -123,8 +123,15 @@ class WNConv2d(nn.Module):
             for u in range(kw):
                 gi = o * s + u
                 route[u, o, gi // q, gi % q] = 1
+        # HIGHEST precision: this contracts weight-sized constants only (the
+        # routing tensor is 0/1), so the cost is negligible — but at default
+        # precision TPU f32 dots round operands to bf16, which would silently
+        # break the fp32-mode exactness this packing promises (advisor r3).
         wp = jnp.einsum(
-            "kucj,uobr->kbrcoj", kernel, jnp.asarray(route)
+            "kucj,uobr->kbrcoj",
+            kernel,
+            jnp.asarray(route),
+            precision=jax.lax.Precision.HIGHEST,
         ).reshape(kh, Bk, q * C, p * cout)
         y = jax.lax.conv_general_dilated(
             xp,

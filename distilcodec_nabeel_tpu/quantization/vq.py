@@ -304,13 +304,18 @@ def nearest_code(
     )
 
     k, d = embed.shape
-    tp = active_codebook_sharding()
-    if tp is not None and k % tp[0].shape[tp[1]] == 0:
-        return nearest_code_tp(x, embed, tp[0], tp[1])
-    from ..ops.vq_argmin import fused_nearest_code, use_pallas_default
+    # An EXPLICIT per-instance mode (vq_search_mode) takes precedence over the
+    # fused-Pallas / codebook-TP fast paths, which implement only the default
+    # precision ladder — otherwise two codecs with different VQ precisions
+    # could not coexist under DISTILCODEC_TPU_FUSED_ARGMIN=1 (advisor r3).
+    if mode is None:
+        tp = active_codebook_sharding()
+        if tp is not None and k % tp[0].shape[tp[1]] == 0:
+            return nearest_code_tp(x, embed, tp[0], tp[1])
+        from ..ops.vq_argmin import fused_nearest_code, use_pallas_default
 
-    if use_pallas_default() and k % 128 == 0 and d % 128 == 0:
-        return fused_nearest_code(x, embed)
+        if use_pallas_default() and k % 128 == 0 and d % 128 == 0:
+            return fused_nearest_code(x, embed)
     return nearest_code_xla(x, embed, mode)
 
 

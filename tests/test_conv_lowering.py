@@ -157,23 +157,18 @@ def test_parallel_block_packed_matches_unpacked(rng):
     assert y65.shape == (2, 65, 32)
 
 
-def test_parallel_block_pack_maxc64_matches(rng):
+def test_parallel_block_pack_maxc64_matches(rng, monkeypatch):
     """The inference decode's pack_maxc=64 (C=64 stage packed at f=2,
     633.8 -> 643.6 au-s/s round trip, r3) is numerically equivalent to the
     unpacked stack."""
-    import os
-
     from distilcodec_nabeel_tpu.models.blocks import ParallelBlock
 
     x = jnp.asarray(rng.standard_normal((2, 64, 64)).astype(np.float32))
     mod64 = ParallelBlock(64, pack_maxc=64)
     vs = mod64.init(jax.random.PRNGKey(0), x)
     packed = mod64.apply(vs, x)
-    os.environ["DISTILCODEC_PACK_RESBLOCKS"] = "0"
-    try:
-        ref = ParallelBlock(64).apply(vs, x)
-    finally:
-        del os.environ["DISTILCODEC_PACK_RESBLOCKS"]
+    monkeypatch.setenv("DISTILCODEC_PACK_RESBLOCKS", "0")
+    ref = ParallelBlock(64).apply(vs, x)
     np.testing.assert_allclose(packed, ref, rtol=1e-5, atol=1e-5)
 
 
