@@ -30,6 +30,12 @@ def main():
     ap.add_argument("--seconds", type=float, default=20.0)
     ap.add_argument("--bf16", action="store_true", default=True)
     ap.add_argument("--fp32", dest="bf16", action="store_false")
+    ap.add_argument(
+        "--halo", type=int, default=None,
+        help="decoder halo override in code frames (reduced-halo low-latency "
+        "mode; default = exact receptive-field halo; error bound per halo: "
+        "bench_halo_error.py)",
+    )
     args = ap.parse_args()
 
     import jax  # noqa: F401
@@ -86,7 +92,10 @@ def main():
     )
 
     # ---- decoder: feed the encoder's tokens back chunk by chunk
-    dec = StreamingDecoder(codec, chunk_frames=args.chunk, enable_bfloat16=args.bf16)
+    dec = StreamingDecoder(
+        codec, chunk_frames=args.chunk, halo_frames=args.halo,
+        enable_bfloat16=args.bf16,
+    )
     lat_d = []
     pos = 0
     produced = 0

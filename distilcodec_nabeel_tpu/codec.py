@@ -65,8 +65,9 @@ class DistilCodecModule(nn.Module):
     cfg: CodecConfig
     only_quantizer: bool = False
     compute_dtype: jnp.dtype | None = None
-    # remat decoder resblocks in training forwards (see HiFiGANGenerator.remat)
-    gen_remat: bool = True
+    # remat decoder resblocks in training forwards: True/False or a comma
+    # stage list like "4" (see HiFiGANGenerator.remat)
+    gen_remat: bool | str = True
     # per-instance VQ nearest-neighbor search mode (None -> the
     # DISTILCODEC_VQ_PRECISION env fallback); lets two codecs with different
     # VQ precisions coexist in one process (quantization.vq.vq_search_mode)

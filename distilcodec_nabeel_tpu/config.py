@@ -230,6 +230,11 @@ class TrainConfig:
     # process-wide fallbacks for instances that don't set them).
     grouped_conv: str | None = None
     msstft_freq_pack: int = 0
+    # run real+fake through each discriminator family as one concatenated
+    # batch (bit-identical; half the conv programs per D phase — the
+    # spectral-norm MSD scale keeps its sequential power-iteration calls).
+    # See training.train.Discriminators.batch_pack.
+    disc_batch_pack: bool = False
     # generator (encoder+VQ-projections+decoder) conv compute dtype for the
     # TRAIN step — None/fp32 = round-1 numerics; "bfloat16" is the TPU analog
     # of the torch lineage training the generator under autocast(bf16)
@@ -241,7 +246,10 @@ class TrainConfig:
     # torch.utils.checkpoint, generators.py:132-137).  Off trades HBM for
     # the recomputed resblock forwards in the backward pass — viable once
     # disc_dtype/grouped_conv/msstft_freq_pack have freed the memory.
-    gen_remat: bool = True
+    # Besides True/False, a comma stage list ("4" = only the final C=32
+    # stage, whose activations are the longest) remats a subset — the
+    # targeted large-batch memory squeeze (models.generator._remat_stage).
+    gen_remat: bool | str = True
 
     @classmethod
     def from_dict(cls, d: dict) -> "TrainConfig":

@@ -517,6 +517,11 @@ class ParallelBlock(nn.Module):
     # time-packing channel cutoff override (None -> 63 / env); the inference
     # decode passes 64 (see _resblock_pack)
     pack_maxc: int | None = None
+    # opt-in whole-stage Pallas fusion (ops/fused_stage.py): the 18-conv
+    # SiLU/residual stack runs VMEM-resident in one kernel when the packed
+    # lane count f*C is exactly 128 and the backend is TPU.  Inference-only
+    # (no VJP); the generator enables it when not training.
+    fused_stage: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -526,6 +531,11 @@ class ParallelBlock(nn.Module):
             # run the whole stack time-packed: one relayout in, one out;
             # every conv sees f*C-lane matmuls (ops.conv1d_packed_frames)
             x = x.reshape(B, T // f, f * C)
+        if self.fused_stage and f * C == 128:
+            from ..ops.fused_stage import fused_stage_enabled
+
+            if fused_stage_enabled():
+                return self._fused(x, f).reshape(B, T, C)
         outs = []
         for i, (k, d) in enumerate(zip(self.kernel_sizes, self.dilation_sizes)):
             outs.append(
@@ -540,3 +550,53 @@ class ParallelBlock(nn.Module):
             )
         out = sum(outs) / len(outs)
         return out.reshape(B, T, C) if f > 1 else out
+
+    def _fused(self, x_packed: jnp.ndarray, f: int) -> jnp.ndarray:
+        """Whole-stage fused path.  Declares the IDENTICAL parameter tree by
+        running the ResBlock1 stack on a tiny dummy (param init in flax is
+        path-keyed, so shapes/names/values match the unfused module and
+        checkpoints load either way; XLA dead-code-eliminates the dummy
+        compute), then hands the folded kernels to the Pallas stage kernel."""
+        import os
+
+        from ..ops.fused_stage import (
+            build_stage_plan,
+            build_tap_arrays,
+            fused_parallel_block,
+        )
+
+        dummy = jnp.zeros((1, 16, f * self.channels), x_packed.dtype)
+        for i, (k, d) in enumerate(zip(self.kernel_sizes, self.dilation_sizes)):
+            ResBlock1(
+                self.channels,
+                k,
+                tuple(d),
+                dtype=self.dtype,
+                pack=f,
+                name=f"blocks_{i}",
+            )(dummy)
+        params = self.variables["params"]
+        plan = build_stage_plan(
+            self.channels,
+            f,
+            tuple(self.kernel_sizes),
+            tuple(tuple(d) for d in self.dilation_sizes),
+        )
+        taps, biases = build_tap_arrays(plan, params, x_packed.dtype)
+        tile_s = int(os.environ.get("DISTILCODEC_FUSED_TILE", "1024"))
+        group = int(os.environ.get("DISTILCODEC_FUSED_GROUP", "8"))
+        try:
+            plat = jax.devices()[0].platform.lower()
+        except Exception:
+            plat = "cpu"
+        return fused_parallel_block(
+            x_packed,
+            taps,
+            biases,
+            plan=plan,
+            tile_s=tile_s,
+            group=group,
+            # Mosaic kernels only exist on TPU; a forced CPU run (env "1",
+            # tests) goes through the Pallas interpreter
+            interpret=plat not in ("tpu", "axon"),
+        )

@@ -290,16 +290,28 @@ class MultiPeriodDiscriminator(nn.Module):
     periods: Sequence[int] = (2, 3, 5, 7, 11)
     kernel_size: int = 5
     stride: int = 3
+    # run real+fake as ONE concatenated batch per sub-discriminator instead
+    # of two programs: convs are batch-row independent, so results are
+    # bit-identical, but the compiler sees half as many ops at twice the
+    # batch (better MXU fill + pipelining on the D phase).
+    batch_pack: bool = False
 
     @nn.compact
     def __call__(self, y: jnp.ndarray, y_hat: jnp.ndarray):
         y_d_rs, y_d_gs, fmap_rs, fmap_gs = [], [], [], []
+        B = y.shape[0]
         for i, p in enumerate(self.periods):
             d = DiscriminatorP(
                 p, self.kernel_size, self.stride, name=f"discriminators_{i}"
             )
-            y_d_r, fmap_r = d(y)
-            y_d_g, fmap_g = d(y_hat)
+            if self.batch_pack:
+                lg, fm = d(jnp.concatenate([y, y_hat], axis=0))
+                y_d_r, y_d_g = lg[:B], lg[B:]
+                fmap_r = [f[:B] for f in fm]
+                fmap_g = [f[B:] for f in fm]
+            else:
+                y_d_r, fmap_r = d(y)
+                y_d_g, fmap_g = d(y_hat)
             y_d_rs.append(y_d_r)
             fmap_rs.append(fmap_r)
             y_d_gs.append(y_d_g)
@@ -402,10 +414,18 @@ class MultiScaleDiscriminator(nn.Module):
 
     layers: tuple | None = None
     grouped_conv_lowering: str | None = None
+    # concat real+fake into one batch for the WEIGHT-normed scales (1, 2) —
+    # bit-identical (batch-row-independent convs), half the programs.  The
+    # spectral-norm scale 0 keeps its two sequential calls: its power
+    # iteration runs per call (torch hook semantics, the reference's
+    # d(y); d(y_hat) updates u twice per step), so batching it would change
+    # the second call's sigma.
+    batch_pack: bool = False
 
     @nn.compact
     def __call__(self, y: jnp.ndarray, y_hat: jnp.ndarray, *, update_stats: bool = False):
         y_d_rs, y_d_gs, fmap_rs, fmap_gs = [], [], [], []
+        B = y.shape[0]
         for i in range(3):
             d = DiscriminatorS(
                 use_spectral_norm=(i == 0),
@@ -416,9 +436,15 @@ class MultiScaleDiscriminator(nn.Module):
             if i != 0:
                 y = _avg_pool1d(y)
                 y_hat = _avg_pool1d(y_hat)
-            kw = {"update_stats": update_stats} if i == 0 else {}
-            y_d_r, fmap_r = d(y, **kw)
-            y_d_g, fmap_g = d(y_hat, **kw)
+            if self.batch_pack and i != 0:
+                lg, fm = d(jnp.concatenate([y, y_hat], axis=0))
+                y_d_r, y_d_g = lg[:B], lg[B:]
+                fmap_r = [f[:B] for f in fm]
+                fmap_g = [f[B:] for f in fm]
+            else:
+                kw = {"update_stats": update_stats} if i == 0 else {}
+                y_d_r, fmap_r = d(y, **kw)
+                y_d_g, fmap_g = d(y_hat, **kw)
             y_d_rs.append(y_d_r)
             fmap_rs.append(fmap_r)
             y_d_gs.append(y_d_g)

@@ -28,8 +28,13 @@ class HiFiGANGenerator(nn.Module):
     # rematerialize ParallelBlocks when training=True (the reference's
     # torch.utils.checkpoint on resblocks, generators.py:132-137).  remat is
     # numerics-neutral (same ops re-executed), so False is bit-identical and
-    # skips the recomputed resblock forwards in the backward pass.
-    remat: bool = True
+    # skips the recomputed resblock forwards in the backward pass.  Besides
+    # True (all stages) / False (none), a comma-separated stage list ("4" =
+    # only the final C=32 stage) remats a subset — the late stages hold the
+    # LONGEST activations (T doubles per stage), so rematting only them buys
+    # most of the memory at a fraction of the recompute (the b19 x 72000
+    # fit, BASELINE.md).
+    remat: bool | str = True
 
     @nn.compact
     def __call__(
@@ -92,9 +97,12 @@ class HiFiGANGenerator(nn.Module):
                 # au-s/s round trip); training keeps the default cutoff so
                 # the train-step program is unchanged (blocks._resblock_pack)
                 pack_maxc=None if training else 64,
+                # inference-only whole-stage Pallas fusion of the C<=128
+                # stages (engages when packed lanes == 128 on TPU; r4)
+                fused_stage=not training,
                 name=f"resblocks_{i}",
             )
-            if training and self.remat:
+            if training and _remat_stage(self.remat, i):
                 x = nn.remat(lambda mdl, y: mdl(y))(block, x)
             else:
                 x = block(x)
@@ -128,3 +136,11 @@ def _prod(xs) -> int:
     for v in xs:
         out *= v
     return out
+
+
+def _remat_stage(remat: bool | str, i: int) -> bool:
+    """Whether stage ``i``'s ParallelBlock is rematerialized (see
+    HiFiGANGenerator.remat)."""
+    if isinstance(remat, bool):
+        return remat
+    return i in {int(s) for s in str(remat).split(",") if s.strip()}

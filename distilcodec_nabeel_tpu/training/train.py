@@ -65,6 +65,11 @@ class Discriminators(nn.Module):
     dtype: Any = None
     grouped_conv: str | None = None
     msstft_freq_pack: int | None = None
+    # run real+fake through each family as ONE concatenated batch (except
+    # the spectral-norm MSD scale whose power-iteration sequence must be
+    # preserved): bit-identical values, half the conv programs per D phase
+    # (see MultiPeriodDiscriminator.batch_pack)
+    batch_pack: bool = False
 
     @nn.compact
     def __call__(self, y: jnp.ndarray, y_hat: jnp.ndarray, *, update_stats: bool = False):
@@ -80,6 +85,7 @@ class Discriminators(nn.Module):
             periods=tuple(mpd_cfg.get("periods", (2, 3, 5, 7, 11))),
             kernel_size=mpd_cfg.get("kernal_size", 5),
             stride=mpd_cfg.get("stride", 3),
+            batch_pack=self.batch_pack,
             name="mpd",
         )
         # MSD uses the torch-default architecture (the reference's config
@@ -91,6 +97,7 @@ class Discriminators(nn.Module):
         msd = MultiScaleDiscriminator(
             layers=tuple(tuple(l) for l in override) if override else None,
             grouped_conv_lowering=self.grouped_conv,
+            batch_pack=self.batch_pack,
             name="msd",
         )
         msstft = MultiScaleSTFTDiscriminator(
@@ -104,8 +111,17 @@ class Discriminators(nn.Module):
 
         p_rs, p_gs, p_fr, p_fg = mpd(y, y_hat)
         s_rs, s_gs, s_fr, s_fg = msd(y, y_hat, update_stats=update_stats)
-        st_r, st_fr = msstft(y)
-        st_g, st_fg = msstft(y_hat)
+        if self.batch_pack:
+            # MS-STFT is stateless: one concatenated pass, split after
+            B = y.shape[0]
+            st_all, st_fm = msstft(jnp.concatenate([y, y_hat], axis=0))
+            st_r = [l[:B] for l in st_all]
+            st_g = [l[B:] for l in st_all]
+            st_fr = [[f[:B] for f in fm] for fm in st_fm]
+            st_fg = [[f[B:] for f in fm] for fm in st_fm]
+        else:
+            st_r, st_fr = msstft(y)
+            st_g, st_fg = msstft(y_hat)
         return {
             "mpd": (p_rs, p_gs, p_fr, p_fg),
             "msd": (s_rs, s_gs, s_fr, s_fg),
@@ -204,6 +220,7 @@ class Trainer:
             dtype=jnp.dtype(ddt) if ddt else None,
             grouped_conv=self.train_cfg.grouped_conv or None,
             msstft_freq_pack=self.train_cfg.msstft_freq_pack or None,
+            batch_pack=self.train_cfg.disc_batch_pack,
         )
         adam = self.train_cfg.adam
         schedule = lambda step: adam.learning_rate * (

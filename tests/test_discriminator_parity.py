@@ -120,3 +120,55 @@ def test_msstft_parity(ref, rng):
         np.testing.assert_allclose(
             ours, logits[i].numpy(), rtol=5e-3, atol=5e-4
         )
+
+
+def test_disc_batch_pack_bit_identical(rng):
+    """batch_pack=True (real+fake as one concatenated batch) must reproduce
+    the two-call path to accumulation round-off for every weight-normed
+    family (convs are batch-row independent; XLA may tile reductions
+    differently at 2B, so exact-to-1e-10, not bit-exact) and keep the
+    spectral-norm scale's sequential power-iteration semantics (it is
+    excluded from packing)."""
+    import jax
+    import jax.numpy as jnp
+
+    from distilcodec_nabeel_tpu.config import CodecConfig
+    from distilcodec_nabeel_tpu.training.train import Discriminators
+
+    from test_codec_facade import MINI_CONFIG
+
+    base = dict(MINI_CONFIG)
+    base["descriminators"] = {
+                "MultiPeriodDiscriminator": {
+                    "periods": [2, 3], "kernal_size": 5, "stride": 3,
+                },
+                "MultiScaleDiscriminator": {
+                    "override_layers": [
+                        [16, 15, 1, 1, 7],
+                        [16, 41, 4, 4, 20],
+                        [32, 5, 1, 1, 2],
+                    ],
+                },
+                "MultiScaleSTFTDiscriminator": {
+                    "filters": 8, "n_ffts": [256, 128],
+                    "hop_lengths": [64, 32], "win_lengths": [256, 128],
+                },
+    }
+    cfg = CodecConfig.from_dict(base)
+    y = jnp.asarray(rng.standard_normal((2, 2048)).astype(np.float32) * 0.1)
+    yh = jnp.asarray(rng.standard_normal((2, 2048)).astype(np.float32) * 0.1)
+    plain = Discriminators(cfg)
+    packed = Discriminators(cfg, batch_pack=True)
+    vs = plain.init(jax.random.PRNGKey(0), y, yh)
+    # identical param tree (packing is a pure execution-shape change)
+    vs2 = packed.init(jax.random.PRNGKey(0), y, yh)
+    assert jax.tree_util.tree_structure(vs) == jax.tree_util.tree_structure(vs2)
+
+    out_a = plain.apply(vs, y, yh, update_stats=True, mutable=["spectral"])
+    out_b = packed.apply(vs, y, yh, update_stats=True, mutable=["spectral"])
+    la, lb = jax.tree_util.tree_leaves(out_a), jax.tree_util.tree_leaves(out_b)
+    assert len(la) == len(lb)
+    for a, b in zip(la, lb):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-10
+        )
