@@ -52,7 +52,9 @@ def main():
     tokens = rng.integers(0, K, size=(n_frames,), dtype=np.int64)
 
     # ground truth: full-sequence decode
-    ref = np.asarray(codec.decode_from_codes(tokens.tolist()))
+    ref = np.asarray(
+        codec.decode_from_codes(tokens.tolist(), minus_token_offset=False)
+    ).reshape(-1)
 
     for h in [int(s) for s in args.halos.split(",")]:
         dec = StreamingDecoder(codec, chunk_frames=args.chunk, halo_frames=h)

@@ -71,6 +71,12 @@ def main():
     ap.add_argument("--batch", type=int, default=16)
     ap.add_argument("--seconds", type=float, default=10.0)
     ap.add_argument("--skip-substages", action="store_true")
+    ap.add_argument(
+        "--fused-stages",
+        action="store_true",
+        help="measure the resblock substages through the fused Pallas "
+        "stage kernel (the TPU inference path, ops/fused_stage.py)",
+    )
     args = ap.parse_args()
     k1, k2 = args.iters
 
@@ -244,6 +250,8 @@ def main():
                 dcfg.resblock_kernel_sizes,
                 dcfg.resblock_dilation_sizes,
                 dtype=dtype,
+                pack_maxc=64,
+                fused_stage=args.fused_stages,
             )
             vblk = {"params": gparams[f"resblocks_{si}"]}
             rec(

@@ -48,10 +48,22 @@ def main():
         "for the recomputed resblock forwards in the backward)",
     )
     ap.add_argument(
+        "--remat-stages",
+        default=None,
+        help="comma stage list to remat (e.g. '4' = final C=32 stage only; "
+        "overrides --no-gen-remat; numerics-neutral memory squeeze)",
+    )
+    ap.add_argument(
+        "--batch-pack",
+        action="store_true",
+        help="real+fake as one concatenated discriminator batch "
+        "(TrainConfig.disc_batch_pack; exact up to reduction round-off)",
+    )
+    ap.add_argument(
         "--grouped-conv",
         default=None,
         choices=[None, "grouped", "dense", "dense128", "dense_gw"],
-        help="MSD grouped-conv lowering (production recipe: dense)",
+        help="MSD grouped-conv lowering (production recipe: dense128)",
     )
     ap.add_argument(
         "--msstft-pack",
@@ -83,6 +95,10 @@ def main():
 
     if args.no_gen_remat:
         train_cfg = dataclasses.replace(train_cfg, gen_remat=False)
+    if args.remat_stages is not None:
+        train_cfg = dataclasses.replace(train_cfg, gen_remat=args.remat_stages)
+    if args.batch_pack:
+        train_cfg = dataclasses.replace(train_cfg, disc_batch_pack=True)
     if args.grouped_conv:
         train_cfg = dataclasses.replace(train_cfg, grouped_conv=args.grouped_conv)
     if args.msstft_pack:
@@ -135,7 +151,10 @@ def main():
                 "segment": args.segment,
                 "disc_dtype": args.disc_dtype or "float32",
                 "gen_dtype": args.gen_dtype or "float32",
-                "gen_remat": not args.no_gen_remat,
+                "gen_remat": args.remat_stages
+                if args.remat_stages is not None
+                else (not args.no_gen_remat),
+                "disc_batch_pack": args.batch_pack,
                 "grouped_conv": train_cfg.grouped_conv or "grouped",
                 "msstft_freq_pack": train_cfg.msstft_freq_pack,
             }

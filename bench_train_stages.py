@@ -76,6 +76,24 @@ def main():
         default=None,
         help="time the discriminator stages in this dtype (e.g. bfloat16)",
     )
+    ap.add_argument(
+        "--batch-pack",
+        action="store_true",
+        help="real+fake as one concatenated batch per family "
+        "(TrainConfig.disc_batch_pack; exact up to reduction round-off)",
+    )
+    ap.add_argument(
+        "--freq-pack",
+        type=int,
+        default=0,
+        help="MS-STFT freq->lane packing factor (production recipe: 4)",
+    )
+    ap.add_argument(
+        "--grouped-conv",
+        default=None,
+        help="MSD grouped-conv lowering for the standalone family stages "
+        "(production recipe: dense128)",
+    )
     args = ap.parse_args()
     k1, k2 = args.iters
     stages = set(args.stages.split(","))
@@ -167,11 +185,15 @@ def main():
             periods=tuple(mpd_cfg.get("periods", (2, 3, 5, 7, 11))),
             kernel_size=mpd_cfg.get("kernal_size", 5),
             stride=mpd_cfg.get("stride", 3),
+            batch_pack=args.batch_pack,
         )
         vmpd = mpd.init(jax.random.PRNGKey(1), y, y_hat)
         families["mpd"] = (lambda p, a, b: mpd.apply(p, a, b), vmpd)
     if stages & {"msd", "msd_dgrad", "msd_ggrad"}:
-        msd = MultiScaleDiscriminator()
+        msd = MultiScaleDiscriminator(
+            grouped_conv_lowering=args.grouped_conv,
+            batch_pack=args.batch_pack,
+        )
         vmsd = msd.init(jax.random.PRNGKey(2), y, y_hat)
         families["msd"] = (lambda p, a, b: msd.apply(p, a, b), vmsd)
     if stages & {"msstft", "msstft_dgrad", "msstft_ggrad"}:
@@ -184,13 +206,28 @@ def main():
             win_lengths=tuple(
                 msstft_cfg.get("win_lengths", (1024, 2048, 512, 256, 128))
             ),
+            freq_pack=args.freq_pack or None,
         )
         vst = msstft.init(jax.random.PRNGKey(3), y)
 
-        def _msstft_both(p, a, b):
-            r_log, r_fm = msstft.apply(p, a)
-            g_log, g_fm = msstft.apply(p, b)
-            return r_log, g_log, r_fm, g_fm
+        if args.batch_pack:
+
+            def _msstft_both(p, a, b):
+                B = a.shape[0]
+                lg, fm = msstft.apply(p, jnp.concatenate([a, b], axis=0))
+                return (
+                    [l[:B] for l in lg],
+                    [l[B:] for l in lg],
+                    [[f[:B] for f in m] for m in fm],
+                    [[f[B:] for f in m] for m in fm],
+                )
+
+        else:
+
+            def _msstft_both(p, a, b):
+                r_log, r_fm = msstft.apply(p, a)
+                g_log, g_fm = msstft.apply(p, b)
+                return r_log, g_log, r_fm, g_fm
 
         families["msstft"] = (_msstft_both, vst)
 

@@ -519,8 +519,9 @@ class ParallelBlock(nn.Module):
     pack_maxc: int | None = None
     # opt-in whole-stage Pallas fusion (ops/fused_stage.py): the 18-conv
     # SiLU/residual stack runs VMEM-resident in one kernel when the packed
-    # lane count f*C is exactly 128 and the backend is TPU.  Inference-only
-    # (no VJP); the generator enables it when not training.
+    # lane count f*C is exactly 128 and DISTILCODEC_FUSED_STAGE=1.
+    # Inference-only (no VJP).  r4 measured NEGATIVE at flagship shapes
+    # (fused_stage_enabled docstring) — default env gate is off.
     fused_stage: bool = False
 
     @nn.compact

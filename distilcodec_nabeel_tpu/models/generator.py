@@ -98,7 +98,8 @@ class HiFiGANGenerator(nn.Module):
                 # the train-step program is unchanged (blocks._resblock_pack)
                 pack_maxc=None if training else 64,
                 # inference-only whole-stage Pallas fusion of the C<=128
-                # stages (engages when packed lanes == 128 on TPU; r4)
+                # stages — opt-in via DISTILCODEC_FUSED_STAGE=1 (r4 measured
+                # negative at flagship shapes; ops/fused_stage.py)
                 fused_stage=not training,
                 name=f"resblocks_{i}",
             )

@@ -1,6 +1,13 @@
 """Fused HiFiGAN ParallelBlock stage — one Pallas kernel per decoder stage.
 
-The decoder's small-channel resblock stages (C<=128) are the last stages off
+STATUS (r4): numerically correct and tested, but a MEASURED NEGATIVE on v5e
+at the flagship decode shapes — kept OPT-IN (``DISTILCODEC_FUSED_STAGE=1``).
+See :func:`fused_stage_enabled` for the full attribution; the short version
+is that Mosaic serializes the kernel's VPU passes (SiLU, im2col staging,
+residuals) with its MXU dots, while XLA's conv pipeline overlaps them.
+
+The design rationale stands and is kept for a future scheduler generation:
+the decoder's small-channel resblock stages (C<=128) are the last stages off
 their roofline (DESIGN.md "Inference roofline accounting", r3: res3 at 48%,
 res4 at 54% of bound): after time-packing, their 18-conv SiLU/residual chains
 re-touch the packed (B, S, 128) activations in HBM per conv — 36+ full passes
@@ -191,7 +198,9 @@ def _stage_kernel(plan: StagePlan, s_valid: int, ts: int, group: int, dtype):
         # f32 form is both the fast and the lowerable one
         return v * jax.lax.logistic(v)
 
-    def kernel(prev_ref, cur_ref, next_ref, taps_ref, bias_ref, out_ref, im2col):
+    def kernel(
+        prev_ref, cur_ref, next_ref, taps_ref, bias_ref, out_ref, im2a, im2b
+    ):
         si = pl.program_id(1)
         x = jnp.concatenate(
             [prev_ref[0, ts - LEFT :, :], cur_ref[0], next_ref[0, :RIGHT, :]],
@@ -222,25 +231,31 @@ def _stage_kernel(plan: StagePlan, s_valid: int, ts: int, group: int, dtype):
         def conv(t, ci):
             ct = plan.convs[ci]
             start = plan.tap_starts[ci]
-            acc = jnp.zeros((L, F), jnp.float32)
             offs = ct.offsets
-            for g0 in range(0, len(offs), group):
-                chunk = offs[g0 : g0 + group]
-                if len(chunk) == 1:
-                    operand = t[PAD + chunk[0] : PAD + chunk[0] + L, :].astype(dtype)
-                else:
-                    # assemble the im2col chunk through VMEM scratch: a lane
-                    # concat of sublane-SHIFTED slices is not lowerable on
-                    # Mosaic ("offset mismatch on non-concat dimension");
-                    # staging each shifted slice through a store re-lays it
-                    # out (f32 shift + cast), and the single K=group*F dot
-                    # feeds the MXU a deep contraction instead of per-tap
-                    # K=F dots.
-                    for i, o in enumerate(chunk):
-                        im2col[:, i * F : (i + 1) * F] = t[
-                            PAD + o : PAD + o + L, :
-                        ].astype(dtype)
-                    operand = im2col[:, : len(chunk) * F]
+            chunks = [offs[g0 : g0 + group] for g0 in range(0, len(offs), group)]
+
+            # assemble each im2col chunk through VMEM scratch: a lane concat
+            # of sublane-SHIFTED slices is not lowerable on Mosaic ("offset
+            # mismatch on non-concat dimension"); staging each shifted slice
+            # through a store re-lays it out (f32 shift + cast), and the
+            # single K=group*F dot feeds the MXU a deep contraction instead
+            # of per-tap K=F dots.  Two alternating scratches with the NEXT
+            # chunk staged before the CURRENT chunk's dot give the scheduler
+            # independent VPU/MXU work to overlap.
+            def stage(chunk, scr):
+                for i, o in enumerate(chunk):
+                    scr[:, i * F : (i + 1) * F] = t[
+                        PAD + o : PAD + o + L, :
+                    ].astype(dtype)
+
+            scr = (im2a, im2b)
+            stage(chunks[0], scr[0])
+            acc = jnp.zeros((L, F), jnp.float32)
+            for idx, chunk in enumerate(chunks):
+                if idx + 1 < len(chunks):
+                    stage(chunks[idx + 1], scr[(idx + 1) % 2])
+                operand = scr[idx % 2][:, : len(chunk) * F]
+                g0 = idx * group
                 w = taps_ref[(start + g0) * F : (start + g0 + len(chunk)) * F, :]
                 acc = acc + jnp.dot(
                     operand, w, preferred_element_type=jnp.float32
@@ -329,7 +344,20 @@ def fused_parallel_block(
             (1, ts, F), lambda b, s: (b, s, 0), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((B, s_pad, F), dtype),
-        scratch_shapes=[pltpu.VMEM((L, group * F), dtype)],
+        scratch_shapes=[
+            pltpu.VMEM((L, group * F), dtype),
+            pltpu.VMEM((L, group * F), dtype),
+        ],
+        # the f32 working buffers + resident taps sit just above Mosaic's
+        # conservative 16 MB default scoped-vmem limit at tile_s=1024;
+        # v5e's physical VMEM accommodates the raised cap
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=int(
+                __import__("os").environ.get(
+                    "DISTILCODEC_FUSED_VMEM", 64 * 1024 * 1024
+                )
+            )
+        ),
         cost_estimate=pl.CostEstimate(
             flops=flops,
             bytes_accessed=2 * B * s_pad * F * x.dtype.itemsize
@@ -344,20 +372,23 @@ def fused_parallel_block(
 def fused_stage_enabled() -> bool:
     """``DISTILCODEC_FUSED_STAGE``: gate for the fused decoder stages.
 
-    * ``auto`` (default) — on when running on the TPU backend (where it is
-      measured faster); off on CPU (tests and the CPU demo keep the
-      reference-shaped packed path).
-    * ``1`` / ``0`` — force on / off everywhere.
+    Default OFF — a r4 MEASURED NEGATIVE at the flagship decode shapes
+    (B=16 x 10 s, v5e): the whole-stage kernel is numerically correct but
+    ran res2/res3/res4 at 43/44/36 ms vs 25/31/26 ms unfused.  Attribution
+    (per-program accounting, matches measurement within ~10%): the kernel is
+    VPU-SERIALIZATION-bound — ~30 f32 SiLU passes (~13.5 us/program on the
+    EUP), ~60-100 shifted im2col staging stores (~9 us), and the residual/
+    mask/epilogue passes all serialize with the MXU dots (~13 us) because
+    Mosaic schedules them in program order, while XLA's conv pipeline
+    overlaps its (admittedly structural-zero-inflated) MXU work with fused
+    elementwise epilogues and HBM streaming.  Variants measured: bf16 vs
+    f32 buffers (sublane-shift cost — no change), tile 1024 vs 2048 (worse),
+    tap-chunk 4/8/16, double-buffered staging with the next chunk issued
+    before the current dot (no overlap materialized).  Even perfect
+    VPU/MXU overlap would only reach ~parity, so the lever is parked:
+    ``1`` forces it on (the kernel stays correct and tested) for future
+    Mosaic scheduler generations.
     """
     import os
 
-    v = os.environ.get("DISTILCODEC_FUSED_STAGE", "auto")
-    if v == "1":
-        return True
-    if v != "auto":
-        return False
-    try:
-        plat = jax.devices()[0].platform.lower()
-    except Exception:
-        return False
-    return plat in ("tpu", "axon")
+    return os.environ.get("DISTILCODEC_FUSED_STAGE", "0") == "1"

@@ -86,3 +86,38 @@ def test_tp_tie_breaking_lowest_global_index(model_mesh):
     )
     np.testing.assert_array_equal(sharded, replicated)
     assert sharded[0] == 3 and sharded[1] == 12
+
+
+def test_explicit_mode_bypasses_tp_fast_path(rng):
+    """An EXPLICIT per-instance vq_search_mode must take precedence over the
+    codebook-TP fast path (advisor r3): with sharding active, mode=None
+    dispatches to the allreduce-argmin, while an explicit mode routes to the
+    plain XLA search in that mode — so two codecs with different VQ
+    precisions coexist under active sharding."""
+    import numpy as np
+
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import Mesh
+
+    from distilcodec_nabeel_tpu.parallel.codebook_shard import (
+        set_codebook_sharding,
+    )
+    from distilcodec_nabeel_tpu.quantization.vq import (
+        nearest_code,
+        nearest_code_xla,
+    )
+
+    x = jnp.asarray(rng.standard_normal((64, 128)).astype(np.float32))
+    embed = jnp.asarray(rng.standard_normal((256, 128)).astype(np.float32))
+    mesh = Mesh(np.array(jax.devices()[:8]), ("model",))
+    set_codebook_sharding(mesh, "model")
+    try:
+        got = nearest_code(x, embed, "highest")
+        want = nearest_code_xla(x, embed, "highest")
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+        # and the default path still matches (through the TP allreduce-argmin)
+        got_tp = nearest_code(x, embed)
+        np.testing.assert_array_equal(np.asarray(got_tp), np.asarray(want))
+    finally:
+        set_codebook_sharding(None)
