@@ -55,9 +55,14 @@ def main():
     )
     ap.add_argument(
         "--batch-pack",
-        action="store_true",
+        nargs="?",
+        const="both",
+        default=None,
+        choices=["both", "d"],
         help="real+fake as one concatenated discriminator batch "
-        "(TrainConfig.disc_batch_pack; exact up to reduction round-off)",
+        "(TrainConfig.disc_batch_pack; exact up to reduction round-off). "
+        "'d' packs only the D phase (the G phase DCEs the real-side "
+        "backward when unpacked)",
     )
     ap.add_argument(
         "--grouped-conv",
@@ -98,7 +103,10 @@ def main():
     if args.remat_stages is not None:
         train_cfg = dataclasses.replace(train_cfg, gen_remat=args.remat_stages)
     if args.batch_pack:
-        train_cfg = dataclasses.replace(train_cfg, disc_batch_pack=True)
+        train_cfg = dataclasses.replace(
+            train_cfg,
+            disc_batch_pack=True if args.batch_pack == "both" else args.batch_pack,
+        )
     if args.grouped_conv:
         train_cfg = dataclasses.replace(train_cfg, grouped_conv=args.grouped_conv)
     if args.msstft_pack:

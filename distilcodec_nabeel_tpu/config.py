@@ -233,8 +233,14 @@ class TrainConfig:
     # run real+fake through each discriminator family as one concatenated
     # batch (bit-identical; half the conv programs per D phase — the
     # spectral-norm MSD scale keeps its sequential power-iteration calls).
+    # True/"both" packs both phases; "d" packs only the D phase: the G phase
+    # differentiates w.r.t. y_hat alone, so UNPACKED the real-side backward
+    # is dead code XLA eliminates entirely, while packed the dx chain runs
+    # for the real rows too (their FM-loss cotangents are nonzero; the
+    # gradient only dies at the constant y) — packing there buys scheduling
+    # but pays a full extra half-batch backward.
     # See training.train.Discriminators.batch_pack.
-    disc_batch_pack: bool = False
+    disc_batch_pack: bool | str = False
     # generator (encoder+VQ-projections+decoder) conv compute dtype for the
     # TRAIN step — None/fp32 = round-1 numerics; "bfloat16" is the TPU analog
     # of the torch lineage training the generator under autocast(bf16)

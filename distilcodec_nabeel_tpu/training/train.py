@@ -212,15 +212,32 @@ class Trainer:
             f_max=spec.fmax,
         )
         ddt = (self.disc_dtype or "").replace("bf16", "bfloat16")
+        # disc_batch_pack: False | True/"both" | "d" (D phase only — see
+        # TrainConfig docstring for why the G phase may prefer unpacked)
+        bp = self.train_cfg.disc_batch_pack
+        if bp not in (False, True, "both", "d", "", None):
+            raise ValueError(
+                f"disc_batch_pack={bp!r}: expected False/True/'both'/'d'"
+            )
+        pack_d = bool(bp)
+        pack_g = bp in (True, "both")
         # the exact-lowering recipe switches ride as module attributes (not
         # process env), so the production recipe is one config object and two
         # Trainers with different recipes coexist in one process
-        self.disc = Discriminators(
-            self.codec_cfg,
+        disc_kw = dict(
             dtype=jnp.dtype(ddt) if ddt else None,
             grouped_conv=self.train_cfg.grouped_conv or None,
             msstft_freq_pack=self.train_cfg.msstft_freq_pack or None,
-            batch_pack=self.train_cfg.disc_batch_pack,
+        )
+        self.disc = Discriminators(
+            self.codec_cfg, batch_pack=pack_d, **disc_kw
+        )
+        # same param tree (packing is a pure execution-shape change), used
+        # for the G-phase adversarial/FM forward
+        self.disc_g = (
+            self.disc
+            if pack_g == pack_d
+            else Discriminators(self.codec_cfg, batch_pack=pack_g, **disc_kw)
         )
         adam = self.train_cfg.adam
         schedule = lambda step: adam.learning_rate * (
@@ -372,7 +389,7 @@ class Trainer:
         mel_real = self._mel(y)
 
         def g_loss_fn(y_hat_in, commit_in, div_in):
-            _disc_eval_apply = lambda a, b: self.disc.apply(
+            _disc_eval_apply = lambda a, b: self.disc_g.apply(
                 {"params": new_disc_params, "spectral": new_spectral},
                 a,
                 b,

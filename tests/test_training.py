@@ -389,3 +389,43 @@ def test_selective_stage_remat_matches(trainer, state, rng):
         np.asarray(m_a["g_loss/total"]), np.asarray(m_b["g_loss/total"]),
         rtol=1e-6, atol=1e-6,
     )
+
+
+def test_disc_batch_pack_phases_match(trainer, state, rng):
+    """disc_batch_pack False / True / "d" (D-phase-only) are the same math:
+    convs are batch-row independent, so one step's losses must agree to
+    reduction round-off across all three execution shapes, and "d" must
+    build a distinct G-phase module (the unpacked one whose real-side
+    backward XLA can DCE)."""
+    import dataclasses
+
+    audio = jnp.asarray(rng.standard_normal((2, 2048)).astype(np.float32) * 0.1)
+    ms = {}
+    for bp in (False, True, "d"):
+        tr = Trainer(
+            mini_codec_cfg(),
+            dataclasses.replace(mini_train_cfg(), disc_batch_pack=bp),
+            steps_per_epoch=10,
+        )
+        if bp == "d":
+            assert tr.disc.batch_pack and not tr.disc_g.batch_pack
+        else:
+            assert tr.disc_g is tr.disc
+        _, ms[bp] = jax.jit(tr.train_step)(state, audio, jax.random.PRNGKey(1))
+    for bp in (True, "d"):
+        np.testing.assert_allclose(
+            float(ms[bp]["g_loss/total"]),
+            float(ms[False]["g_loss/total"]),
+            rtol=1e-5,
+        )
+        np.testing.assert_allclose(
+            float(ms[bp]["d_loss/total"]),
+            float(ms[False]["d_loss/total"]),
+            rtol=1e-5,
+        )
+    with pytest.raises(ValueError, match="disc_batch_pack"):
+        Trainer(
+            mini_codec_cfg(),
+            dataclasses.replace(mini_train_cfg(), disc_batch_pack="g"),
+            steps_per_epoch=10,
+        )
