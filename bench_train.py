@@ -72,9 +72,9 @@ def main():
     )
     ap.add_argument(
         "--msstft-pack",
-        type=int,
-        default=0,
-        help="MS-STFT freq->lane packing factor (production recipe: 4)",
+        default="0",
+        help="MS-STFT freq->lane packing factor (int, production recipe: 4) "
+        "or 'chain' for the chain-packed stack",
     )
     args = ap.parse_args()
     k1, k2 = args.iters
@@ -109,9 +109,14 @@ def main():
         )
     if args.grouped_conv:
         train_cfg = dataclasses.replace(train_cfg, grouped_conv=args.grouped_conv)
-    if args.msstft_pack:
+    if args.msstft_pack and args.msstft_pack != "0":
         train_cfg = dataclasses.replace(
-            train_cfg, msstft_freq_pack=args.msstft_pack
+            train_cfg,
+            msstft_freq_pack=(
+                args.msstft_pack
+                if args.msstft_pack == "chain"
+                else int(args.msstft_pack)
+            ),
         )
     trainer = Trainer(
         codec_cfg,

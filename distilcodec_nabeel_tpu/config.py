@@ -229,7 +229,10 @@ class TrainConfig:
     # DISTILCODEC_GROUPED_CONV / DISTILCODEC_MSSTFT_PACK env vars remain
     # process-wide fallbacks for instances that don't set them).
     grouped_conv: str | None = None
-    msstft_freq_pack: int = 0
+    # int p: per-conv freq->lane packing; "chain": the r4 chain-packed stack
+    # (activations stay packed across all six convs — no per-conv relayouts;
+    # see msstftd.DiscriminatorSTFT.freq_pack)
+    msstft_freq_pack: int | str = 0
     # run real+fake through each discriminator family as one concatenated
     # batch (bit-identical; half the conv programs per D phase — the
     # spectral-norm MSD scale keeps its sequential power-iteration calls).

@@ -31,6 +31,46 @@ LRELU_SLOPE = 0.1
 _normal001 = nn.initializers.normal(stddev=0.01)
 
 
+CHAIN_P = 4  # fixed W-block size of the chain-packed lowering
+
+
+def _chain_route(kw: int, s: int, padw: int, p: int = CHAIN_P, dtype=None):
+    """0/1 routing tensor for the chain-packed conv (see WNConv2d docstring).
+
+    Output phase o, tap u reads unpacked position o*s + u - padw relative to
+    the output block's origin; with L0 = ceil(padw/p) whole zero blocks of
+    left padding the relative packed coordinate rv = o*s + u + (p*L0 - padw)
+    is nonnegative, landing in kernel block rv//p at within-block offset
+    rv%p.  Returns (route (kw, p, Bk, p), Bk, L0)."""
+    import numpy as np
+
+    L0 = -(-padw // p)
+    shift = p * L0 - padw
+    rmax = (p - 1) * s + (kw - 1) + shift
+    Bk = rmax // p + 1
+    route = np.zeros((kw, p, Bk, p), dtype or np.float32)
+    for o in range(p):
+        for u in range(kw):
+            rv = o * s + u + shift
+            route[u, o, rv // p, rv % p] = 1
+    return route, Bk, L0
+
+
+def chain_pack(z: "jnp.ndarray", p: int = CHAIN_P) -> "jnp.ndarray":
+    """(B, H, W, C) -> (B, H, ceil(W/p), p*C), zero tail (r-major layout)."""
+    B, H, W, C = z.shape
+    Wb = -(-W // p)
+    z = jnp.pad(z, ((0, 0), (0, 0), (0, Wb * p - W), (0, 0)))
+    return z.reshape(B, H, Wb, p * C)
+
+
+def chain_unpack(y: "jnp.ndarray", true_w: int, p: int = CHAIN_P) -> "jnp.ndarray":
+    """(B, H, Bout, p*C) -> (B, H, true_w, C)."""
+    B, H, Bout, pc = y.shape
+    c = pc // p
+    return y.reshape(B, H, Bout * p, c)[:, :, :true_w]
+
+
 class WNConv2d(nn.Module):
     """Weight-normed Conv2d over (B, H, W, C), torch padding semantics.
 
@@ -45,6 +85,21 @@ class WNConv2d(nn.Module):
     TODO.md).  Packing p=4 fills the lanes for both the forward and its
     gradient convs.  Requires dilation_w == 1 (true for every MS-STFT conv:
     dilation is time-only, msstftd.py:107-210).
+
+    ``chain_w=J`` (chain-packed mode, r4): the input is ALREADY packed —
+    (B, H, Wb, 4*Cin) with true unpacked width J and a zeroed tail — and the
+    output stays packed.  Per-conv pack/unpack relayouts are what kept the
+    per-conv packed stack at ~5x its bandwidth bound (probe_msstft.py): each
+    conv re-materialized the ~100 MB activation twice just to re-block it.
+    Here every conv keeps the FIXED block size 4 on both sides; a stride s
+    rides as ``window_strides=s`` on the block axis (out block b reads
+    blocks b*s ...), the unpacked SAME padding is folded into the kernel
+    routing plus whole zero blocks of conv padding, and the zero tail is
+    re-established by an epilogue mask (window reads past J see exact
+    zeros, like the unpacked zero padding).  Identical values and gradients
+    to the plain conv (tests/test_msstftd_chain.py); FLOP inflation
+    Bk*4/kw (1.3-1.8x on the (3,9) convs) against relayout-free chaining.
+    Returns ``(packed_out, J_out)``.
     """
 
     features: int
@@ -56,8 +111,8 @@ class WNConv2d(nn.Module):
     freq_pack: int = 0
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        in_ch = x.shape[-1]
+    def __call__(self, x: jnp.ndarray, chain_w: int | None = None):
+        in_ch = x.shape[-1] if chain_w is None else x.shape[-1] // CHAIN_P
         kh, kw = self.kernel_size
         kshape = (kh, kw, in_ch, self.features)
         v = self.param("v", _normal001, kshape, jnp.float32)
@@ -78,6 +133,9 @@ class WNConv2d(nn.Module):
         # accumulation is only forced when the input itself is fp32
         dtype = x.dtype
         pref = jnp.float32 if dtype == jnp.float32 else dtype
+        if chain_w is not None:
+            assert self.dilation[1] == 1, "chain mode needs dilation_w == 1"
+            return self._chain_packed(x, chain_w, kernel.astype(dtype), b, pref)
         if self.freq_pack > 1 and self.dilation[1] == 1:
             return self._freq_packed(
                 x, kernel.astype(dtype), b, pref
@@ -92,6 +150,50 @@ class WNConv2d(nn.Module):
             preferred_element_type=pref,
         )
         return y + b.astype(y.dtype)
+
+    def _chain_packed(self, x, J_in, kernel, b, pref):
+        """Chain-packed conv (see class docstring): x (B, H, Wb, 4*Cin) with
+        true width J_in and zero tail -> ((B, H', Bout, 4*cout), J_out)."""
+        import numpy as np
+
+        p = CHAIN_P
+        kh, kw, cin, cout = kernel.shape
+        sh, s = self.strides
+        padh, padw = self.padding
+        dh = self.dilation[0]
+        route, Bk, L0 = _chain_route(kw, s, padw, p, kernel.dtype)
+        # HIGHEST for the same reason as _freq_packed (advisor r3): the
+        # routing contraction is over weight-sized constants only
+        wp = jnp.einsum(
+            "kucj,uobr->kbrcoj",
+            kernel,
+            jnp.asarray(route),
+            precision=jax.lax.Precision.HIGHEST,
+        ).reshape(kh, Bk, p * cin, p * cout)
+        J_out = (J_in + 2 * padw - ((kw - 1) + 1)) // s + 1
+        Bout = -(-J_out // p)
+        Wb = x.shape[2]
+        right = max(0, (Bout - 1) * s + Bk - (Wb + L0))
+        y = jax.lax.conv_general_dilated(
+            x,
+            wp,
+            window_strides=(sh, s),
+            padding=[(padh, padh), (L0, right)],
+            rhs_dilation=(dh, 1),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=pref,
+        )[:, :, :Bout]
+        # bias per true channel j at packed index o*cout + j, then the
+        # zero-tail mask (positions >= J_out) — the invariant every window
+        # read past J relies on; XLA fuses both into the conv epilogue
+        mask = (np.arange(Bout * p).reshape(Bout, p) < J_out).astype(
+            np.float32
+        )
+        mask = np.repeat(mask, cout, axis=1).reshape(1, 1, Bout, p * cout)
+        y = (y + jnp.tile(b, p).astype(y.dtype)) * jnp.asarray(
+            mask, y.dtype
+        )
+        return y, J_out
 
     def _freq_packed(self, x, kernel, b, pref):
         """Exact W-packed lowering (see class docstring)."""

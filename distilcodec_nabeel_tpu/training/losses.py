@@ -16,11 +16,22 @@ def feature_loss(fmap_r, fmap_g) -> jnp.ndarray:
     """Feature-matching L1, doubled (descriminators.py:324-330).
 
     Reductions accumulate fp32 even when the discriminators run in bf16
-    (``Trainer.disc_dtype``) — XLA fuses the converts into the reduces."""
+    (``Trainer.disc_dtype``) — XLA fuses the converts into the reduces.
+
+    A feature map may be an ``(array, scale)`` pair (the chain-packed
+    MS-STFT stack, msstftd.DiscriminatorSTFT._chain_call): the array is
+    W-packed with a zero tail in BOTH r and g, and ``scale`` =
+    padded/true element count makes the padded mean equal the true mean
+    exactly."""
     loss = 0.0
     for dr, dg in zip(fmap_r, fmap_g):
         for rl, gl in zip(dr, dg):
-            loss += jnp.mean(
+            s = 1.0
+            if isinstance(rl, tuple):
+                rl, s = rl
+            if isinstance(gl, tuple):
+                gl, _ = gl
+            loss += s * jnp.mean(
                 jnp.abs(rl.astype(jnp.float32) - gl.astype(jnp.float32))
             )
     return loss * 2

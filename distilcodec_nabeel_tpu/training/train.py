@@ -64,7 +64,7 @@ class Discriminators(nn.Module):
     cfg: CodecConfig
     dtype: Any = None
     grouped_conv: str | None = None
-    msstft_freq_pack: int | None = None
+    msstft_freq_pack: int | str | None = None
     # run real+fake through each family as ONE concatenated batch (except
     # the spectral-norm MSD scale whose power-iteration sequence must be
     # preserved): bit-identical values, half the conv programs per D phase
@@ -112,13 +112,17 @@ class Discriminators(nn.Module):
         p_rs, p_gs, p_fr, p_fg = mpd(y, y_hat)
         s_rs, s_gs, s_fr, s_fg = msd(y, y_hat, update_stats=update_stats)
         if self.batch_pack:
-            # MS-STFT is stateless: one concatenated pass, split after
+            # MS-STFT is stateless: one concatenated pass, split after.
+            # Chain-packed fmaps are (array, scale) pairs — slice the array.
+            def _fm_slice(f, sl):
+                return (f[0][sl], f[1]) if isinstance(f, tuple) else f[sl]
+
             B = y.shape[0]
             st_all, st_fm = msstft(jnp.concatenate([y, y_hat], axis=0))
             st_r = [l[:B] for l in st_all]
             st_g = [l[B:] for l in st_all]
-            st_fr = [[f[:B] for f in fm] for fm in st_fm]
-            st_fg = [[f[B:] for f in fm] for fm in st_fm]
+            st_fr = [[_fm_slice(f, slice(None, B)) for f in fm] for fm in st_fm]
+            st_fg = [[_fm_slice(f, slice(B, None)) for f in fm] for fm in st_fm]
         else:
             st_r, st_fr = msstft(y)
             st_g, st_fg = msstft(y_hat)

@@ -55,7 +55,11 @@ def main():
     ap.add_argument("--batch", type=int, default=16)
     ap.add_argument("--segment", type=int, default=71936)
     ap.add_argument("--iters", nargs=2, type=int, default=[3, 9])
-    ap.add_argument("--pack", type=int, default=4)
+    ap.add_argument(
+        "--pack",
+        type=lambda s: s if s == "chain" else int(s),
+        default=4,
+    )
     ap.add_argument("--dtype", default="bfloat16")
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
