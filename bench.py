@@ -198,12 +198,14 @@ def _run_json_subprocess(cmd: list, timeout_s: float) -> dict | None:
     return None
 
 
-# the round-3 production training recipe: bf16 generator+discriminator
-# compute, tile-grouped (dense128) MSD conv lowering, MS-STFT freq packing,
-# remat off.  Measured 56.11 train-au-s/s/chip at b16x72000 (0.855 s/step)
-# vs 45.91 with round 2's dense lowering — the 128-channel tile-diagonal
-# form keeps full lane alignment at 2-8x fewer FLOPs on the Cin>=256 MSD
-# layers (ops/conv1d.py grouped_to_tile_grouped_kernel).
+# the round-4 production training recipe: bf16 generator+discriminator
+# compute, tile-grouped (dense128) MSD conv lowering, CHAIN-packed MS-STFT
+# stack, remat off.  Measured 69.66 train-au-s/s/chip at b16x72000
+# (0.689 s/step) vs 56.11 with round 3's per-conv freq packing — the chain
+# keeps activations W-packed across all six convs of every scale (no
+# per-conv pack/unpack relayouts; msstftd.DiscriminatorSTFT._chain_call)
+# and the frame-free windowed DFT removes the STFT's frames tensor
+# (dsp/stft._windowed_spec).
 TRAIN_BENCH_CMD = [
     "bench_train.py",
     "--batch",
@@ -216,7 +218,7 @@ TRAIN_BENCH_CMD = [
     "--grouped-conv",
     "dense128",
     "--msstft-pack",
-    "4",
+    "chain",
 ]
 
 

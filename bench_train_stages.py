@@ -84,9 +84,10 @@ def main():
     )
     ap.add_argument(
         "--freq-pack",
-        type=int,
+        type=lambda s: s if s == "chain" else int(s),
         default=0,
-        help="MS-STFT freq->lane packing factor (production recipe: 4)",
+        help="MS-STFT freq->lane packing factor (int) or 'chain' "
+        "(production recipe since r4: chain)",
     )
     ap.add_argument(
         "--grouped-conv",
@@ -212,14 +213,18 @@ def main():
 
         if args.batch_pack:
 
+            def _fm_slice(f, sl):
+                # chain-packed fmaps are (array, scale) pairs
+                return (f[0][sl], f[1]) if isinstance(f, tuple) else f[sl]
+
             def _msstft_both(p, a, b):
                 B = a.shape[0]
                 lg, fm = msstft.apply(p, jnp.concatenate([a, b], axis=0))
                 return (
                     [l[:B] for l in lg],
                     [l[B:] for l in lg],
-                    [[f[:B] for f in m] for m in fm],
-                    [[f[B:] for f in m] for m in fm],
+                    [[_fm_slice(f, slice(None, B)) for f in m] for m in fm],
+                    [[_fm_slice(f, slice(B, None)) for f in m] for m in fm],
                 )
 
         else:

@@ -245,7 +245,7 @@ def small_msd_codec_cfg():
 
 def test_production_recipe_data_parallel(rng, monkeypatch):
     """The full production recipe (gen bf16 + disc bf16 + ``dense128``
-    tile-grouped lowering + MS-STFT freq packing + remat off) under
+    tile-grouped lowering + chain-packed MS-STFT stack + remat off) under
     data-parallel GSPMD on the 8-CPU mesh: one step runs, losses finite, the
     sharded step matches the same trainer's unsharded step (the packed/dense
     lowerings must shard cleanly), AND the compiled program genuinely carries
@@ -266,7 +266,7 @@ def test_production_recipe_data_parallel(rng, monkeypatch):
         gen_remat=False,
         disc_dtype="bfloat16",
         grouped_conv="dense128",
-        msstft_freq_pack=4,
+        msstft_freq_pack="chain",
     )
     tr = Trainer(small_msd_codec_cfg(), cfg, steps_per_epoch=10)
     state = tr.init_state(jax.random.PRNGKey(0), segment_len=2048)
