@@ -76,7 +76,7 @@ def main():
         params = blk.init(jax.random.PRNGKey(0), x)
 
         t_full = timed_ms(
-            lambda i, p, xx: blk.apply(p, xx + i.astype(dt) * dt.type(1e-6)),
+            lambda i, p, xx: blk.apply(p, xx + i.astype(dt) * jnp.asarray(1e-6, dt)),
             (params, x),
             k1,
             k2,
@@ -91,7 +91,7 @@ def main():
         ).astype(dt)
 
         def mlp(i, xx, w1, w2, gelu=True):
-            h = (xx + i.astype(dt) * dt.type(1e-6)) @ w1
+            h = (xx + i.astype(dt) * jnp.asarray(1e-6, dt)) @ w1
             if gelu:
                 h = jax.nn.gelu(h, approximate=False)
             return h @ w2
@@ -101,7 +101,7 @@ def main():
 
         # LayerNorm alone (fp32 stats like the block's LayerNorm)
         def ln(i, xx):
-            h = (xx + i.astype(dt) * dt.type(1e-6)).astype(jnp.float32)
+            h = (xx + i.astype(dt) * jnp.asarray(1e-6, dt)).astype(jnp.float32)
             mu = h.mean(-1, keepdims=True)
             v = ((h - mu) ** 2).mean(-1, keepdims=True)
             return ((h - mu) * jax.lax.rsqrt(v + 1e-6)).astype(dt)
