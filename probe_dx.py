@@ -103,18 +103,11 @@ def poly_dx(g, w, stride, pad, fgc, T_in, pref):
         r0 = (r - pad) % s
         # for n = m*s + r0: t_j = (n + pad - k_j)/s = m + (r0 + pad - k_j)/s
         # with k_j in ks (all == r mod s, and r0+pad == r mod s) — integers.
-        offs = [(r0 + pad - k) // s for k in ks[::-1]]  # increasing
+        offs = [(r0 + pad - k) // s for k in ks[::-1]]  # ascending by 1
         lo, hi = offs[0], offs[-1]
-        # conv over g with kernel taps at offsets offs (consecutive? only if
-        # ks consecutive in steps of s — yes: ks = r, r+s, ... so offs are
-        # consecutive integers descending by 1... ks[::-1] descending k =>
-        # offs ascending by 1).  So it's a dense stride-1 conv with left
-        # padding -lo and right padding (hi + ceil((T_in-r0)/s) - T_out).
-        m_count = (T_in - r0 + s - 1) // s
-        pad_l = -lo
-        pad_r = hi + m_count - T_out - (len(offs) - 1) - (-lo) + (len(offs) - 1)
-        # simpler: t ranges over m+offs; need g index range [m+lo, m+hi] for
+        # t ranges over m+offs; need g index range [m+lo, m+hi] for
         # m in [0, m_count): pad g so indices [lo, m_count-1+hi] are valid.
+        m_count = (T_in - r0 + s - 1) // s
         pad_l = max(0, -lo)
         pad_r = max(0, m_count - 1 + hi - (T_out - 1))
         gp = jnp.pad(g, ((0, 0), (pad_l, pad_r), (0, 0)))
