@@ -36,6 +36,11 @@ def main():
         "mode; default = exact receptive-field halo; error bound per halo: "
         "bench_halo_error.py)",
     )
+    ap.add_argument(
+        "--streams", type=int, default=1,
+        help="N synchronized streams per dispatch (multi-stream serving; "
+        "aggregate RTF = N * chunk_audio / latency)",
+    )
     args = ap.parse_args()
 
     import jax  # noqa: F401
@@ -49,25 +54,32 @@ def main():
     codec = DistilCodec(cfg)
 
     rng = np.random.default_rng(0)
+    N = args.streams
     n = int(args.seconds * SR)
-    audio = (rng.standard_normal(n) * 0.1).astype(np.float32)
+    audio = (rng.standard_normal((N, n)) * 0.1).astype(np.float32)
+
+    def _as_multi(x):
+        """Coerce a streamer output to its n_streams>1 shape (lead N axis)."""
+        return x if N > 1 else x[None]
 
     # ---- encoder: feed chunk-sized sample blocks, time steady-state pushes
-    enc = StreamingEncoder(codec, chunk_frames=args.chunk, enable_bfloat16=args.bf16)
+    enc = StreamingEncoder(
+        codec, chunk_frames=args.chunk, enable_bfloat16=args.bf16, n_streams=N
+    )
     block = args.chunk * codec.hop_size * codec.ds_factor  # samples per chunk
     lat_e, codes_all = [], []
     pos = 0
     while pos < n:
-        b = audio[pos : pos + block]
+        b = audio[:, pos : pos + block] if N > 1 else audio[0, pos : pos + block]
         pos += block
         t0 = time.perf_counter()
-        c = enc.push(b)
+        c = _as_multi(enc.push(b))
         dt = time.perf_counter() - t0
-        if len(c):
+        if c.shape[1]:
             lat_e.append(dt)
             codes_all.append(c)
-    codes_all.append(enc.flush())
-    codes = np.concatenate(codes_all, axis=0)
+    codes_all.append(_as_multi(enc.flush()))
+    codes = np.concatenate(codes_all, axis=1)  # (N, T, GR)
     lat_e = np.asarray(lat_e[2:])  # drop compile/warm pushes
     if len(lat_e) < 3:
         raise SystemExit(
@@ -83,7 +95,10 @@ def main():
                 "unit": "ms/chunk (median, host round trip incl.)",
                 "p90_ms": round(float(np.quantile(lat_e, 0.9)) * 1e3, 1),
                 "chunk_audio_ms": round(chunk_audio_s * 1e3, 1),
-                "rtf": round(chunk_audio_s / float(np.median(lat_e)), 2),
+                "rtf": round(
+                    N * chunk_audio_s / float(np.median(lat_e)), 2
+                ),
+                "streams": N,
                 "chunks": int(len(lat_e)),
                 "bf16": args.bf16,
             }
@@ -94,24 +109,29 @@ def main():
     # ---- decoder: feed the encoder's tokens back chunk by chunk
     dec = StreamingDecoder(
         codec, chunk_frames=args.chunk, halo_frames=args.halo,
-        enable_bfloat16=args.bf16,
+        enable_bfloat16=args.bf16, n_streams=N,
     )
     lat_d = []
     pos = 0
     produced = 0
-    while pos < len(codes):
-        c = codes[pos : pos + args.chunk]
+    n_frames = codes.shape[1]
+    while pos < n_frames:
+        c = (
+            codes[:, pos : pos + args.chunk]
+            if N > 1
+            else codes[0, pos : pos + args.chunk]
+        )
         pos += args.chunk
         t0 = time.perf_counter()
-        w = dec.push(c)
+        w = _as_multi(dec.push(c))
         dt = time.perf_counter() - t0
-        if len(w):
+        if w.shape[1]:
             lat_d.append(dt)
-            produced += len(w)
+            produced += w.shape[1]
     # finish the sanity check the tail flush completes: every code frame
-    # must come back out as hop*ds samples
-    produced += len(dec.flush())
-    expected = len(codes) * codec.hop_size * codec.ds_factor
+    # must come back out as hop*ds samples (per stream)
+    produced += _as_multi(dec.flush()).shape[1]
+    expected = n_frames * codec.hop_size * codec.ds_factor
     assert produced == expected, (produced, expected)
     lat_d = np.asarray(lat_d[2:])
     if len(lat_d) < 3:
@@ -127,7 +147,10 @@ def main():
                 "unit": "ms/chunk (median, host round trip incl.)",
                 "p90_ms": round(float(np.quantile(lat_d, 0.9)) * 1e3, 1),
                 "chunk_audio_ms": round(chunk_audio_s * 1e3, 1),
-                "rtf": round(chunk_audio_s / float(np.median(lat_d)), 2),
+                "rtf": round(
+                    N * chunk_audio_s / float(np.median(lat_d)), 2
+                ),
+                "streams": N,
                 "chunks": int(len(lat_d)),
                 "algorithmic_latency_ms": round(
                     dec.halo * codec.hop_size * codec.ds_factor / SR * 1e3, 1

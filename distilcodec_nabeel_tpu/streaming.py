@@ -21,7 +21,7 @@ from .parallel.halo import _decoder_halo_for, _encoder_halo_for
 
 
 class StreamingDecoder:
-    """Incremental single-stream decoder over a DistilCodec facade.
+    """Incremental decoder over a DistilCodec facade.
 
     Code frames arrive either as a flat int list (the student's 1-group x
     1-residual token stream) or as an (n, G*R) array (teacher mode) — the
@@ -32,7 +32,17 @@ class StreamingDecoder:
     >>> for tok_batch in token_source:
     ...     audio_chunk = dec.push(tok_batch)   # np.ndarray, may be empty
     >>> tail = dec.flush()
-    """
+
+    ``n_streams=N`` decodes N SYNCHRONIZED streams per dispatch (one fixed
+    (G, N, W, R) program; a serving tick that advances every active stream
+    together — the single-stream decode uses a fraction of the chip, so
+    aggregate throughput multiplies, bench_streaming.py --streams).  Then
+    ``push`` takes (N, n) flat tokens or (N, n, G*R) and returns
+    (N, samples); per-stream values are identical to N independent
+    single-stream decoders (tests/test_streaming_multi.py).  Streams that
+    end early can be padded with any valid code id and trimmed by the
+    caller (the reference's batch decode makes the same contract,
+    distil_codec.py:620-625)."""
 
     def __init__(
         self,
@@ -40,6 +50,7 @@ class StreamingDecoder:
         chunk_frames: int = 32,
         halo_frames: int | None = None,
         enable_bfloat16: bool = False,
+        n_streams: int = 1,
     ):
         self.codec = codec
         self.hop = codec.hop_size * codec.ds_factor
@@ -58,29 +69,36 @@ class StreamingDecoder:
         self._decode = jax.jit(
             lambda v, c: module.apply(v, c, method="decode_codes")
         )
-        self._frames = np.zeros((0, self.gr), np.int32)  # (T, G*R)
+        self.n_streams = n_streams
+        # (N, T, G*R) — N synchronized streams advance together
+        self._frames = np.zeros((n_streams, 0, self.gr), np.int32)
         self._emitted = 0  # frames emitted so far
 
     def _decode_window(self, start: int, length: int) -> np.ndarray:
-        window = self._frames[start : start + length]  # (L, G*R)
+        window = self._frames[:, start : start + length]  # (N, L, G*R)
         g, r = self.codec.ngroups, self.codec.nresiduals
-        ind = window.reshape(-1, g, r)
-        ind = np.transpose(ind, (1, 0, 2))[:, None]  # (G, 1, L, R)
+        N, L = window.shape[:2]
+        ind = window.reshape(N, L, g, r)
+        ind = np.transpose(ind, (2, 0, 1, 3))  # (G, N, L, R)
         wave = self._decode(self.codec.variables, jnp.asarray(ind))
-        return np.asarray(wave)[0]
+        return np.asarray(wave)  # (N, L * hop)
 
     def push(self, tokens, minus_token_offset: bool = False) -> np.ndarray:
-        """Feed new code frames (flat list or (n, G*R) array); returns
-        whatever audio became decodable."""
-        arr = np.asarray(tokens, np.int64).reshape(-1, self.gr)
+        """Feed new code frames (flat list or (n, G*R) array; with
+        ``n_streams=N`` an (N, n) or (N, n, G*R) array); returns whatever
+        audio became decodable — (samples,) single-stream, (N, samples)
+        multi."""
+        arr = np.asarray(tokens, np.int64).reshape(
+            self.n_streams, -1, self.gr
+        )
         if minus_token_offset:
             arr = arr - self.codec.tokens_id_offset
         self._frames = np.concatenate(
-            [self._frames, arr.astype(np.int32)], axis=0
+            [self._frames, arr.astype(np.int32)], axis=1
         )
         out = []
         # emit while a full fixed-shape window (chunk + lookahead) is covered
-        n_frames = self._frames.shape[0]
+        n_frames = self._frames.shape[1]
         while n_frames >= self._emitted + self.chunk + self.halo and (
             n_frames >= max(0, self._emitted - self.halo) + self.window
         ):
@@ -88,11 +106,13 @@ class StreamingDecoder:
             start = min(start, n_frames - self.window)
             wave = self._decode_window(start, self.window)
             off = (self._emitted - start) * self.hop
-            out.append(wave[off : off + self.chunk * self.hop])
+            out.append(wave[:, off : off + self.chunk * self.hop])
             self._emitted += self.chunk
         if out:
-            return np.concatenate(out)
-        return np.zeros((0,), np.float32)
+            cat = np.concatenate(out, axis=1)
+        else:
+            cat = np.zeros((self.n_streams, 0), np.float32)
+        return cat if self.n_streams > 1 else cat[0]
 
     def flush(self) -> np.ndarray:
         """Emit everything pending using the true stream end boundary.
@@ -108,15 +128,17 @@ class StreamingDecoder:
         zero-padding is the stream-end condition), so padding the tail to a
         fixed shape would change the final samples — exactness wins here.
         For one-shot short sequences prefer ``codec.decode_from_codes``."""
-        total = self._frames.shape[0]
+        total = self._frames.shape[1]
         if self._emitted >= total:
-            return np.zeros((0,), np.float32)
+            z = np.zeros((self.n_streams, 0), np.float32)
+            return z if self.n_streams > 1 else z[0]
         start = max(0, total - self.window)
         length = total - start
         wave = self._decode_window(start, length)
         off = (self._emitted - start) * self.hop
         self._emitted = total
-        return wave[off:]
+        wave = wave[:, off:]
+        return wave if self.n_streams > 1 else wave[0]
 
     @property
     def latency_seconds(self) -> float:
@@ -146,7 +168,12 @@ class StreamingEncoder:
     >>> for block in microphone:
     ...     codes = enc.push(block)      # (n, G*R) int32, may be empty
     >>> codes_tail = enc.flush()
-    """
+
+    ``n_streams=N`` tokenizes N SYNCHRONIZED live streams per dispatch (one
+    fixed (N, window) program; see StreamingDecoder.n_streams): ``push``
+    takes (N, samples) and returns (N, n, G*R); per-stream codes are
+    identical to N independent single-stream encoders
+    (tests/test_streaming_multi.py)."""
 
     def __init__(
         self,
@@ -154,7 +181,9 @@ class StreamingEncoder:
         chunk_frames: int = 32,
         halo_frames: int | None = None,
         enable_bfloat16: bool = False,
+        n_streams: int = 1,
     ):
+        self.n_streams = n_streams
         self.codec = codec
         spec = codec.spec_config
         self.p = codec.ds_factor  # mel frames per code frame
@@ -188,57 +217,64 @@ class StreamingEncoder:
         win, hop = self.win, self.hop
 
         def encode_window(variables, samples):
-            frames = frame_signal(samples, win, hop)  # (n_mel, win)
+            # samples: (N, win_samples) — N synchronized streams
+            frames = frame_signal(samples, win, hop)  # (N, n_mel, win)
             sp = jnp.einsum(
-                "tw,wf->tf",
+                "...tw,wf->...tf",
                 frames.astype(jnp.float32),
                 basis,
                 precision=jax.lax.Precision.HIGHEST,
             )
-            re, im = sp[:, :n_freqs], sp[:, n_freqs:]
+            re, im = sp[..., :n_freqs], sp[..., n_freqs:]
             mag = jnp.sqrt(re * re + im * im + 1e-6)
             mel = compress(
                 jnp.einsum(
-                    "tf,fm->tm", mag, fb, precision=jax.lax.Precision.HIGHEST
+                    "...tf,fm->...tm",
+                    mag,
+                    fb,
+                    precision=jax.lax.Precision.HIGHEST,
                 )
             )
             return module.apply(
-                variables, mel[None], method="_encode_from_mel"
-            )  # (1, G*R, n_mel // p)
+                variables, mel, method="_encode_from_mel"
+            )  # (N, G*R, n_mel // p)
 
         self._encode = jax.jit(encode_window)
-        self._samples = np.zeros((0,), np.float32)
+        self._samples = np.zeros((n_streams, 0), np.float32)
         self._emitted = 0  # code frames emitted so far
 
     def _ready_frames(self) -> int:
         """Mel frames computable with only real right-context (no end
         reflect)."""
-        avail = self.left + len(self._samples)
+        avail = self.left + self._samples.shape[1]
         return max(0, (avail - self.win) // self.hop + 1)
 
     def _lead(self) -> np.ndarray:
         s = self._samples
-        if len(s) > self.left:
-            return s[1 : self.left + 1][::-1]
-        return np.zeros((self.left,), np.float32)
+        if s.shape[1] > self.left:
+            return s[:, 1 : self.left + 1][:, ::-1]
+        return np.zeros((self.n_streams, self.left), np.float32)
 
     def _emit(self, start: int, first: int, count: int) -> np.ndarray:
         """Encode the fixed window at code frame ``start`` (p-aligned mel
         start); return codes [first, first+count)."""
-        padded = np.concatenate([self._lead(), self._samples])
+        padded = np.concatenate([self._lead(), self._samples], axis=1)
         begin = start * self.p * self.hop
-        sample_win = padded[begin : begin + self._win_samples]
+        sample_win = padded[:, begin : begin + self._win_samples]
         codes = self._encode(
             self.codec.variables, jnp.asarray(sample_win)
-        )  # (1, GR, window)
-        arr = np.asarray(codes)[0]  # (GR, window)
-        return arr[:, first : first + count].T  # (count, GR)
+        )  # (N, GR, window)
+        arr = np.asarray(codes)
+        # (N, count, GR)
+        return np.transpose(arr[:, :, first : first + count], (0, 2, 1))
 
     def push(self, samples) -> np.ndarray:
-        """Feed new samples; returns code frames that became final, shape
-        (n, G*R) int32 (n may be 0)."""
+        """Feed new samples ((n,) single-stream, (N, n) multi); returns code
+        frames that became final — (n, G*R) int32 single-stream,
+        (N, n, G*R) multi (n may be 0)."""
+        arr = np.asarray(samples, np.float32)
         self._samples = np.concatenate(
-            [self._samples, np.asarray(samples, np.float32).reshape(-1)]
+            [self._samples, arr.reshape(self.n_streams, -1)], axis=1
         )
         out = []
         while True:
@@ -248,12 +284,14 @@ class StreamingEncoder:
                 break
             out.append(self._emit(s, e - s, self.chunk))
             self._emitted += self.chunk
-        if out:
-            return np.concatenate(out, axis=0)
         gr = self.codec.codec_config.quantizer.n_groups * (
             self.codec.codec_config.quantizer.n_codebooks
         )
-        return np.zeros((0, gr), np.int32)
+        if out:
+            cat = np.concatenate(out, axis=1)
+        else:
+            cat = np.zeros((self.n_streams, 0, gr), np.int32)
+        return cat if self.n_streams > 1 else cat[0]
 
     def flush(self) -> np.ndarray:
         """Emit the remaining frames using the true end-of-stream reflect
@@ -276,34 +314,35 @@ class StreamingEncoder:
         once per distinct length; for one-shot short clips prefer
         ``codec.encode``."""
         s = self._samples
-        t_mel = len(s) // self.hop
+        t_mel = s.shape[1] // self.hop
         total = t_mel // self.p
         gr = self.codec.codec_config.quantizer.n_groups * (
             self.codec.codec_config.quantizer.n_codebooks
         )
         if self._emitted >= total:
             self._emitted = total
-            return np.zeros((0, gr), np.int32)
+            z = np.zeros((self.n_streams, 0, gr), np.int32)
+            return z if self.n_streams > 1 else z[0]
         tail = (
-            s[-self.right - 1 : -1][::-1]
-            if len(s) > self.right
-            else np.zeros((self.right,), np.float32)
+            s[:, -self.right - 1 : -1][:, ::-1]
+            if s.shape[1] > self.right
+            else np.zeros((self.n_streams, self.right), np.float32)
         )
-        padded = np.concatenate([self._lead(), s, tail])
+        padded = np.concatenate([self._lead(), s, tail], axis=1)
         start = max(0, total - self.window)
         begin = start * self.p * self.hop
         n_mel = t_mel - start * self.p
         need = begin + n_mel * self.hop + (self.win - self.hop)
-        if len(padded) < need:
-            padded = np.pad(padded, (0, need - len(padded)))
+        if padded.shape[1] < need:
+            padded = np.pad(padded, ((0, 0), (0, need - padded.shape[1])))
         codes = self._encode(
-            self.codec.variables, jnp.asarray(padded[begin:need])
+            self.codec.variables, jnp.asarray(padded[:, begin:need])
         )
-        arr = np.asarray(codes)[0]
+        arr = np.asarray(codes)  # (N, GR, L)
         first = self._emitted - start
-        out = arr[:, first : total - start].T
+        out = np.transpose(arr[:, :, first : total - start], (0, 2, 1))
         self._emitted = total
-        return out
+        return out if self.n_streams > 1 else out[0]
 
     @property
     def latency_seconds(self) -> float:
