@@ -425,6 +425,15 @@ class ConvNeXtBlock(nn.Module):
     kernel_size: int = 7
     dilation: int = 1
     dtype: jnp.dtype | None = None
+    # None -> DISTILCODEC_GELU_APPROX env (default off).  True swaps the
+    # exact-erf GELU for the tanh approximation: erf is the one activation
+    # the TPU VPU has no fast path for (0.87 ms standalone on the
+    # (16,938,4096) MLP activation vs ~free for tanh/sigmoid/silu,
+    # probe_gelu.py), so the exact form costs ~1 ms/block at C=1024.
+    # CHANGES NUMERICS (reference = torch's exact erf GELU): opt-in
+    # serving recipe only; the measured token-flip bound on real audio is
+    # recorded in DESIGN.md before use.
+    gelu_approx: bool | None = None
 
     @nn.compact
     def __call__(
@@ -449,7 +458,12 @@ class ConvNeXtBlock(nn.Module):
             dtype=self.dtype,
             name="pwconv1",
         )(x)
-        x = nn.gelu(x, approximate=False)
+        approx = self.gelu_approx
+        if approx is None:
+            import os
+
+            approx = bool(int(os.environ.get("DISTILCODEC_GELU_APPROX", "0") or 0))
+        x = nn.gelu(x, approximate=approx)
         x = nn.Dense(
             self.dim, kernel_init=_trunc02, dtype=self.dtype, name="pwconv2"
         )(x)

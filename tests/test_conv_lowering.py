@@ -480,3 +480,33 @@ def test_msstft_freq_pack_matches(rng, monkeypatch):
         jax.tree_util.tree_leaves(g_pk), jax.tree_util.tree_leaves(g_ref)
     ):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4)
+
+
+def test_gelu_approx_env_flag(monkeypatch, rng):
+    """DISTILCODEC_GELU_APPROX=1 swaps the ConvNeXt blocks' exact-erf GELU
+    for the tanh approximation (opt-in serving recipe, models/blocks.py):
+    outputs must differ from exact (the flag is live) but stay within the
+    approximation's known error envelope; gelu_approx=False pins exact
+    regardless of env."""
+    import os
+
+    import jax
+    import jax.numpy as jnp
+
+    from distilcodec_nabeel_tpu.models.blocks import ConvNeXtBlock
+
+    x = jnp.asarray(rng.standard_normal((2, 32, 16)).astype(np.float32))
+    blk_env = ConvNeXtBlock(dim=16, layer_scale_init_value=0.0)
+    params = blk_env.init(jax.random.PRNGKey(0), x)
+
+    monkeypatch.setenv("DISTILCODEC_GELU_APPROX", "0")
+    y_exact = blk_env.apply(params, x)
+    monkeypatch.setenv("DISTILCODEC_GELU_APPROX", "1")
+    y_approx = blk_env.apply(params, x)
+    d = float(jnp.max(jnp.abs(y_exact - y_approx)))
+    assert 0 < d < 1e-2
+    # attr overrides env
+    y_pinned = ConvNeXtBlock(
+        dim=16, layer_scale_init_value=0.0, gelu_approx=False
+    ).apply(params, x)
+    np.testing.assert_array_equal(np.asarray(y_pinned), np.asarray(y_exact))
