@@ -32,7 +32,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ..dsp.stft import frame_signal
+from ..dsp.stft import _windowed_spec, frame_signal
 
 
 @dataclasses.dataclass(frozen=True)
@@ -205,13 +205,22 @@ class TimeShardedCodec:
             window = jax.lax.dynamic_slice(
                 assembled, (offset,), (fe * hopc + (win - hop),)
             )
-            frames = frame_signal(window, win, hop)  # (fe, win)
-            spec = jnp.einsum(
-                "tw,wf->tf",
-                frames.astype(jnp.float32),
-                basis,
-                precision=jax.lax.Precision.HIGHEST,
-            )
+            # same windowed-DFT construction as the batch mel path
+            # (dsp/stft._windowed_spec) so sharded == unsharded stays
+            # bit-for-bit — a different partial-sum order here could flip
+            # near-tie VQ argmins
+            if win % hop == 0:
+                spec = _windowed_spec(
+                    window.astype(jnp.float32), basis, win, hop
+                )
+            else:
+                frames = frame_signal(window, win, hop)  # (fe, win)
+                spec = jnp.einsum(
+                    "tw,wf->tf",
+                    frames.astype(jnp.float32),
+                    basis,
+                    precision=jax.lax.Precision.HIGHEST,
+                )
             re, im = spec[:, :n_freqs], spec[:, n_freqs:]
             mag = jnp.sqrt(re * re + im * im + 1e-6)
             mel = compress(

@@ -203,7 +203,7 @@ class StreamingEncoder:
         self._win_samples = self._win_mel * self.hop + (self.win - self.hop)
 
         from .dsp.mel import compress, melscale_fbanks
-        from .dsp.stft import _dft_basis, frame_signal
+        from .dsp.stft import _dft_basis, _windowed_spec, frame_signal
 
         n_fft, n_mels = spec.n_fft, spec.num_mels
         n_freqs = n_fft // 2 + 1
@@ -217,14 +217,23 @@ class StreamingEncoder:
         win, hop = self.win, self.hop
 
         def encode_window(variables, samples):
-            # samples: (N, win_samples) — N synchronized streams
-            frames = frame_signal(samples, win, hop)  # (N, n_mel, win)
-            sp = jnp.einsum(
-                "...tw,wf->...tf",
-                frames.astype(jnp.float32),
-                basis,
-                precision=jax.lax.Precision.HIGHEST,
-            )
+            # samples: (N, win_samples) — N synchronized streams.  Same
+            # windowed-DFT construction as the batch mel path
+            # (dsp/stft._windowed_spec) so streaming == full-sequence stays
+            # bit-for-bit — a different partial-sum order could flip
+            # near-tie VQ argmins.
+            if win % hop == 0:
+                sp = _windowed_spec(
+                    samples.astype(jnp.float32), basis, win, hop
+                )
+            else:
+                frames = frame_signal(samples, win, hop)  # (N, n_mel, win)
+                sp = jnp.einsum(
+                    "...tw,wf->...tf",
+                    frames.astype(jnp.float32),
+                    basis,
+                    precision=jax.lax.Precision.HIGHEST,
+                )
             re, im = sp[..., :n_freqs], sp[..., n_freqs:]
             mag = jnp.sqrt(re * re + im * im + 1e-6)
             mel = compress(
