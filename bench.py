@@ -250,8 +250,12 @@ def main():
     train = _run_json_subprocess(
         [sys.executable, os.path.join(here, TRAIN_BENCH_CMD[0])]
         + TRAIN_BENCH_CMD[1:],
+        # cache-warm measured 3m37s on an idle host; the 900 s default
+        # timed out once under a concurrent CPU-suite run (r4), so leave
+        # margin — a cold cache still degrades to train=null rather than
+        # eating the driver's whole budget
         timeout_s=float(
-            os.environ.get("DISTILCODEC_BENCH_TRAIN_TIMEOUT", 900)
+            os.environ.get("DISTILCODEC_BENCH_TRAIN_TIMEOUT", 1500)
         ),
     )
 
