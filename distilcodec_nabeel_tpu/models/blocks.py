@@ -257,16 +257,35 @@ class Conv1d(nn.Module):
                 groups=groups,
             )
         else:
-            y = jax.lax.conv_general_dilated(
-                x.astype(dtype),
-                kernel.astype(dtype),
-                window_strides=(self.stride,),
-                padding=[(self.padding, self.padding)],
-                rhs_dilation=(self.dilation,),
-                dimension_numbers=("NHC", "HIO", "NHC"),
-                feature_group_count=groups,
-                preferred_element_type=pref,
-            )
+            from ..ops.conv1d import grouped_conv_s1_directdx, grouped_dx_mode
+
+            if (
+                groups > 1
+                and self.stride == 1
+                and grouped_dx_mode() == "direct"
+                and (self.kernel_size - 1) * self.dilation >= self.padding
+            ):
+                # opt-in direct input-gradient lowering (probe_dx.py: 2.6x
+                # on the stride-1 fgc=8 MSD layer; value/grad-exact)
+                y = grouped_conv_s1_directdx(
+                    x.astype(dtype),
+                    kernel.astype(dtype),
+                    groups,
+                    self.padding,
+                    self.dilation,
+                    jnp.dtype(pref).name,
+                )
+            else:
+                y = jax.lax.conv_general_dilated(
+                    x.astype(dtype),
+                    kernel.astype(dtype),
+                    window_strides=(self.stride,),
+                    padding=[(self.padding, self.padding)],
+                    rhs_dilation=(self.dilation,),
+                    dimension_numbers=("NHC", "HIO", "NHC"),
+                    feature_group_count=groups,
+                    preferred_element_type=pref,
+                )
         if self.use_bias:
             b = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
             y = y + b.astype(y.dtype)

@@ -329,15 +329,33 @@ class SNConv1d(nn.Module):
             if low == "dense":
                 kernel = grouped_to_dense_kernel(kernel, groups)
                 groups = 1
-        y = jax.lax.conv_general_dilated(
-            x,
-            kernel.astype(dtype),
-            window_strides=(self.stride,),
-            padding=[(self.padding, self.padding)],
-            dimension_numbers=("NHC", "HIO", "NHC"),
-            feature_group_count=groups,
-            preferred_element_type=pref,
-        )
+        from ..ops.conv1d import grouped_conv_s1_directdx, grouped_dx_mode
+
+        if (
+            groups > 1
+            and self.stride == 1
+            and grouped_dx_mode() == "direct"
+            and (self.kernel_size - 1) >= self.padding
+        ):
+            # opt-in direct input-gradient lowering (see Conv1d / probe_dx.py)
+            y = grouped_conv_s1_directdx(
+                x,
+                kernel.astype(dtype),
+                groups,
+                self.padding,
+                1,
+                jnp.dtype(pref).name,
+            )
+        else:
+            y = jax.lax.conv_general_dilated(
+                x,
+                kernel.astype(dtype),
+                window_strides=(self.stride,),
+                padding=[(self.padding, self.padding)],
+                dimension_numbers=("NHC", "HIO", "NHC"),
+                feature_group_count=groups,
+                preferred_element_type=pref,
+            )
         return y + b.astype(y.dtype)
 
 

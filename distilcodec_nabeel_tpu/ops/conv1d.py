@@ -476,3 +476,91 @@ def _dgc_bwd(groups, stride, padding, dilation, pref, res, dy):
 
 
 dense_grouped_conv.defvjp(_dgc_fwd, _dgc_bwd)
+
+
+def grouped_dx_mode() -> str:
+    """Input-gradient lowering for stride-1 grouped convs:
+    'auto' (XLA's conv transpose) or 'direct' (opt-in,
+    DISTILCODEC_GROUPED_DX=direct).
+
+    Measured (probe_dx.py, b16 bf16, v5e): XLA differentiates a grouped
+    conv w.r.t. its input through a decomposition that costs 1.99 ms on the
+    MSD's k=41 fgc=8 stride-1 layer where the mathematically identical
+    direct grouped conv of the cotangent with the flipped, in/out-swapped
+    kernel costs 0.77 ms; on STRIDED convs XLA's lhs-dilated backward wins,
+    so this only applies at stride 1."""
+    import os
+
+    return os.environ.get("DISTILCODEC_GROUPED_DX", "auto")
+
+
+def _swap_io_grouped(w: jnp.ndarray, groups: int) -> jnp.ndarray:
+    """(K, Cin/g, Cout) -> (K, Cout/g, Cin): per-group in/out channel swap
+    (the kernel of the adjoint conv)."""
+    K, cing, cout = w.shape
+    coutg = cout // groups
+    w4 = w.reshape(K, cing, groups, coutg)
+    w4 = jnp.transpose(w4, (0, 3, 2, 1))
+    return w4.reshape(K, coutg, groups * cing)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5))
+def grouped_conv_s1_directdx(x, kernel, groups, padding, dilation, pref_name):
+    """Stride-1 grouped conv whose input gradient is computed as a DIRECT
+    grouped conv (see grouped_dx_mode).  Forward and weight gradient are
+    exactly the default path's (the wgrad reuses XLA's own vjp); only dx
+    changes executor, not math — value-exact (test_conv_lowering.py)."""
+    return jax.lax.conv_general_dilated(
+        x,
+        kernel,
+        window_strides=(1,),
+        padding=[(padding, padding)],
+        rhs_dilation=(dilation,),
+        dimension_numbers=("NHC", "HIO", "NHC"),
+        feature_group_count=groups,
+        preferred_element_type=jnp.dtype(pref_name),
+    )
+
+
+def _gcs1_fwd(x, kernel, groups, padding, dilation, pref_name):
+    y = grouped_conv_s1_directdx(x, kernel, groups, padding, dilation, pref_name)
+    return y, (x, kernel)
+
+
+def _gcs1_bwd(groups, padding, dilation, pref_name, res, dy):
+    x, kernel = res
+    pref = jnp.dtype(pref_name)
+    K = kernel.shape[0]
+    # dx: grouped conv of the cotangent with the flipped io-swapped kernel
+    # (adjoint padding (K-1)*d - pad; out length == T_in for stride 1)
+    wT = _swap_io_grouped(jnp.flip(kernel, 0), groups)
+    q = (K - 1) * dilation - padding
+    dx = jax.lax.conv_general_dilated(
+        dy,
+        wT,
+        window_strides=(1,),
+        padding=[(q, q)],
+        rhs_dilation=(dilation,),
+        dimension_numbers=("NHC", "HIO", "NHC"),
+        feature_group_count=groups,
+        preferred_element_type=pref,
+    )[:, : x.shape[1]].astype(x.dtype)
+
+    # dw: exactly XLA's own weight gradient (vjp of the plain conv)
+    def f(w):
+        return jax.lax.conv_general_dilated(
+            x,
+            w,
+            window_strides=(1,),
+            padding=[(padding, padding)],
+            rhs_dilation=(dilation,),
+            dimension_numbers=("NHC", "HIO", "NHC"),
+            feature_group_count=groups,
+            preferred_element_type=pref,
+        )
+
+    dw = jax.vjp(f, kernel)[1](dy)[0]
+    return dx, dw
+
+
+grouped_conv_s1_directdx.defvjp(_gcs1_fwd, _gcs1_bwd)

@@ -510,3 +510,47 @@ def test_gelu_approx_env_flag(monkeypatch, rng):
         dim=16, layer_scale_init_value=0.0, gelu_approx=False
     ).apply(params, x)
     np.testing.assert_array_equal(np.asarray(y_pinned), np.asarray(y_exact))
+
+
+def test_grouped_dx_direct_matches(monkeypatch, rng):
+    """DISTILCODEC_GROUPED_DX=direct (stride-1 grouped convs compute their
+    input gradient as a direct grouped conv of the cotangent — probe_dx.py)
+    must reproduce the default path's values AND both gradients exactly,
+    through Conv1d and SNConv1d, including a dilated case."""
+    import jax
+    import jax.numpy as jnp
+
+    from distilcodec_nabeel_tpu.models.blocks import Conv1d
+    from distilcodec_nabeel_tpu.models.discriminators import SNConv1d
+
+    x = jnp.asarray(rng.standard_normal((2, 64, 16)).astype(np.float32))
+
+    for mod, kw in (
+        (Conv1d, dict(features=24, kernel_size=5, padding=2, groups=4,
+                      use_weight_norm=True)),
+        (Conv1d, dict(features=24, kernel_size=5, padding=4, dilation=2,
+                      groups=4)),
+        (SNConv1d, dict(features=24, kernel_size=5, padding=2, groups=4)),
+    ):
+        m = mod(**kw)
+        params = m.init(jax.random.PRNGKey(0), x)
+
+        def run(v, xx):
+            y = m.apply(v, xx)
+            return jnp.sum(y * jnp.cos(jnp.arange(y.size).reshape(y.shape) * 0.1)), y
+
+        monkeypatch.setenv("DISTILCODEC_GROUPED_DX", "auto")
+        (la, ya), ga = jax.value_and_grad(run, argnums=(0, 1), has_aux=True)(
+            params, x
+        )
+        monkeypatch.setenv("DISTILCODEC_GROUPED_DX", "direct")
+        (lb, yb), gb = jax.value_and_grad(run, argnums=(0, 1), has_aux=True)(
+            params, x
+        )
+        np.testing.assert_allclose(np.asarray(ya), np.asarray(yb), atol=1e-6)
+        for a, b in zip(
+            jax.tree_util.tree_leaves(ga), jax.tree_util.tree_leaves(gb)
+        ):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6
+            )
