@@ -257,12 +257,15 @@ class Conv1d(nn.Module):
                 groups=groups,
             )
         else:
-            from ..ops.conv1d import grouped_conv_s1_directdx, grouped_dx_mode
+            from ..ops.conv1d import (
+            grouped_conv_s1_directdx,
+            grouped_custom_bwd_enabled,
+        )
 
             if (
                 groups > 1
                 and self.stride == 1
-                and grouped_dx_mode() == "direct"
+                and grouped_custom_bwd_enabled()
                 and (self.kernel_size - 1) * self.dilation >= self.padding
             ):
                 # opt-in direct input-gradient lowering (probe_dx.py: 2.6x

@@ -329,12 +329,15 @@ class SNConv1d(nn.Module):
             if low == "dense":
                 kernel = grouped_to_dense_kernel(kernel, groups)
                 groups = 1
-        from ..ops.conv1d import grouped_conv_s1_directdx, grouped_dx_mode
+        from ..ops.conv1d import (
+            grouped_conv_s1_directdx,
+            grouped_custom_bwd_enabled,
+        )
 
         if (
             groups > 1
             and self.stride == 1
-            and grouped_dx_mode() == "direct"
+            and grouped_custom_bwd_enabled()
             and (self.kernel_size - 1) >= self.padding
         ):
             # opt-in direct input-gradient lowering (see Conv1d / probe_dx.py)

@@ -494,6 +494,19 @@ def grouped_dx_mode() -> str:
     return os.environ.get("DISTILCODEC_GROUPED_DX", "auto")
 
 
+def grouped_custom_bwd_enabled() -> bool:
+    """True when either opt-in backward lowering for stride-1 grouped convs
+    is requested (DISTILCODEC_GROUPED_DX=direct and/or
+    DISTILCODEC_GROUPED_WGRAD=smallk) — call sites then route through
+    grouped_conv_s1_directdx, whose bwd picks per-flag paths."""
+    import os
+
+    return (
+        grouped_dx_mode() == "direct"
+        or os.environ.get("DISTILCODEC_GROUPED_WGRAD", "auto") == "smallk"
+    )
+
+
 def _swap_io_grouped(w: jnp.ndarray, groups: int) -> jnp.ndarray:
     """(K, Cin/g, Cout) -> (K, Cout/g, Cin): per-group in/out channel swap
     (the kernel of the adjoint conv)."""
@@ -528,38 +541,93 @@ def _gcs1_fwd(x, kernel, groups, padding, dilation, pref_name):
 
 
 def _gcs1_bwd(groups, padding, dilation, pref_name, res, dy):
+    import os
+
     x, kernel = res
     pref = jnp.dtype(pref_name)
     K = kernel.shape[0]
-    # dx: grouped conv of the cotangent with the flipped io-swapped kernel
-    # (adjoint padding (K-1)*d - pad; out length == T_in for stride 1)
-    wT = _swap_io_grouped(jnp.flip(kernel, 0), groups)
-    q = (K - 1) * dilation - padding
-    dx = jax.lax.conv_general_dilated(
-        dy,
-        wT,
-        window_strides=(1,),
-        padding=[(q, q)],
-        rhs_dilation=(dilation,),
-        dimension_numbers=("NHC", "HIO", "NHC"),
-        feature_group_count=groups,
-        preferred_element_type=pref,
-    )[:, : x.shape[1]].astype(x.dtype)
-
-    # dw: exactly XLA's own weight gradient (vjp of the plain conv)
-    def f(w):
-        return jax.lax.conv_general_dilated(
-            x,
-            w,
+    if grouped_dx_mode() == "direct":
+        # dx: grouped conv of the cotangent with the flipped io-swapped
+        # kernel (adjoint padding (K-1)*d - pad; out length == T_in for
+        # stride 1)
+        wT = _swap_io_grouped(jnp.flip(kernel, 0), groups)
+        q = (K - 1) * dilation - padding
+        dx = jax.lax.conv_general_dilated(
+            dy,
+            wT,
             window_strides=(1,),
-            padding=[(padding, padding)],
+            padding=[(q, q)],
             rhs_dilation=(dilation,),
             dimension_numbers=("NHC", "HIO", "NHC"),
             feature_group_count=groups,
             preferred_element_type=pref,
-        )
+        )[:, : x.shape[1]].astype(x.dtype)
+    else:
 
-    dw = jax.vjp(f, kernel)[1](dy)[0]
+        def f_x(xx):
+            return jax.lax.conv_general_dilated(
+                xx,
+                kernel,
+                window_strides=(1,),
+                padding=[(padding, padding)],
+                rhs_dilation=(dilation,),
+                dimension_numbers=("NHC", "HIO", "NHC"),
+                feature_group_count=groups,
+                preferred_element_type=pref,
+            )
+
+        dx = jax.vjp(f_x, x)[1](dy)[0]
+
+    smallk = os.environ.get("DISTILCODEC_GROUPED_WGRAD", "auto") == "smallk"
+    if smallk and K <= 8:
+        # dw as K per-tap grouped einsums.  Rationale: XLA's SMALL-kernel
+        # grouped wgrad decomposition measured ~20x its FLOP bound on the
+        # MSD's k=5 fgc=8 layer (probe_msd_wgrad.py: 2.49 vs 0.12 ms at
+        # b16) while the large-K layers sit at 85-92%.  The per-tap form
+        # re-reads the activations once per tap — ruinous at K=41 (the
+        # dense_gw negative, DESIGN.md) but ~K x a fraction of a ms here.
+        B, T_in, Cin = x.shape
+        Cout = dy.shape[-1]
+        Ci = Cin // groups
+        Cog = Cout // groups
+        T_out = dy.shape[1]
+        xp = jnp.pad(x, ((0, 0), (padding, padding), (0, 0)))
+        dyg = dy.reshape(B, T_out, groups, Cog)
+        dws = []
+        for k in range(K):
+            sl = jax.lax.slice_in_dim(
+                xp, k * dilation, k * dilation + T_out, 1, axis=1
+            )
+            slg = sl.reshape(B, T_out, groups, Ci)
+            dws.append(
+                jnp.einsum(
+                    "btgi,btgo->gio",
+                    slg,
+                    dyg,
+                    preferred_element_type=jnp.float32,
+                )
+            )
+        dw = (
+            jnp.stack(dws)  # (K, g, Ci, Cog)
+            .transpose(0, 2, 1, 3)
+            .reshape(K, Ci, Cout)
+            .astype(kernel.dtype)
+        )
+    else:
+        # dw: exactly XLA's own weight gradient (vjp of the plain conv)
+        def f(w):
+            return jax.lax.conv_general_dilated(
+                x,
+                w,
+                window_strides=(1,),
+                padding=[(padding, padding)],
+                rhs_dilation=(dilation,),
+                dimension_numbers=("NHC", "HIO", "NHC"),
+                feature_group_count=groups,
+                preferred_element_type=pref,
+            )
+
+        dw = jax.vjp(f, kernel)[1](dy)[0]
     return dx, dw
 
 

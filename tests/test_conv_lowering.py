@@ -515,7 +515,9 @@ def test_gelu_approx_env_flag(monkeypatch, rng):
 def test_grouped_dx_direct_matches(monkeypatch, rng):
     """DISTILCODEC_GROUPED_DX=direct (stride-1 grouped convs compute their
     input gradient as a direct grouped conv of the cotangent — probe_dx.py)
-    must reproduce the default path's values AND both gradients exactly,
+    and DISTILCODEC_GROUPED_WGRAD=smallk (per-tap einsum weight gradient
+    for K<=8) must reproduce the default path's values and gradients to
+    accumulation round-off (the smallk dw sums in a different order),
     through Conv1d and SNConv1d, including a dilated case."""
     import jax
     import jax.numpy as jnp
@@ -544,6 +546,7 @@ def test_grouped_dx_direct_matches(monkeypatch, rng):
             params, x
         )
         monkeypatch.setenv("DISTILCODEC_GROUPED_DX", "direct")
+        monkeypatch.setenv("DISTILCODEC_GROUPED_WGRAD", "smallk")
         (lb, yb), gb = jax.value_and_grad(run, argnums=(0, 1), has_aux=True)(
             params, x
         )
@@ -552,5 +555,5 @@ def test_grouped_dx_direct_matches(monkeypatch, rng):
             jax.tree_util.tree_leaves(ga), jax.tree_util.tree_leaves(gb)
         ):
             np.testing.assert_allclose(
-                np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-6
+                np.asarray(a), np.asarray(b), rtol=5e-4, atol=1e-5
             )
