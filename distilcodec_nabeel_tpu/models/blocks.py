@@ -258,9 +258,9 @@ class Conv1d(nn.Module):
             )
         else:
             from ..ops.conv1d import (
-            grouped_conv_s1_directdx,
-            grouped_custom_bwd_enabled,
-        )
+                grouped_conv_s1_directdx,
+                grouped_custom_bwd_enabled,
+            )
 
             if (
                 groups > 1
@@ -484,6 +484,11 @@ class ConvNeXtBlock(nn.Module):
         if approx is None:
             import os
 
+            # TRACE-TIME read: already-jitted programs keep whatever value
+            # was in effect when they were traced — flipping the env var
+            # mid-process requires jax.clear_caches() (or a fresh process).
+            # Prefer the module attribute / config plumbing for in-process
+            # switching (advisor r4).
             approx = bool(int(os.environ.get("DISTILCODEC_GELU_APPROX", "0") or 0))
         x = nn.gelu(x, approximate=approx)
         x = nn.Dense(

@@ -88,9 +88,18 @@ class StreamingDecoder:
         ``n_streams=N`` an (N, n) or (N, n, G*R) array); returns whatever
         audio became decodable — (samples,) single-stream, (N, samples)
         multi."""
-        arr = np.asarray(tokens, np.int64).reshape(
-            self.n_streams, -1, self.gr
-        )
+        arr = np.asarray(tokens, np.int64)
+        if self.n_streams > 1 and (
+            arr.ndim < 2 or arr.shape[0] != self.n_streams
+        ):
+            # a flat concatenated buffer would otherwise be silently
+            # misassigned across streams by the reshape (advisor r4)
+            raise ValueError(
+                f"push with n_streams={self.n_streams} needs an "
+                f"({self.n_streams}, n) or ({self.n_streams}, n, G*R) "
+                f"array, got shape {arr.shape}"
+            )
+        arr = arr.reshape(self.n_streams, -1, self.gr)
         if minus_token_offset:
             arr = arr - self.codec.tokens_id_offset
         self._frames = np.concatenate(
@@ -282,6 +291,15 @@ class StreamingEncoder:
         frames that became final — (n, G*R) int32 single-stream,
         (N, n, G*R) multi (n may be 0)."""
         arr = np.asarray(samples, np.float32)
+        if self.n_streams > 1 and (
+            arr.ndim != 2 or arr.shape[0] != self.n_streams
+        ):
+            # a flat concatenated buffer would otherwise be silently
+            # misassigned across streams by the reshape (advisor r4)
+            raise ValueError(
+                f"push with n_streams={self.n_streams} needs an "
+                f"({self.n_streams}, n) samples array, got shape {arr.shape}"
+            )
         self._samples = np.concatenate(
             [self._samples, arr.reshape(self.n_streams, -1)], axis=1
         )

@@ -26,11 +26,21 @@ def feature_loss(fmap_r, fmap_g) -> jnp.ndarray:
     loss = 0.0
     for dr, dg in zip(fmap_r, fmap_g):
         for rl, gl in zip(dr, dg):
+            if isinstance(rl, tuple) != isinstance(gl, tuple):
+                # a chain-packed fmap paired with a plain stack's fmap would
+                # average a zero-padded array against an unpadded one —
+                # fail loudly instead (advisor r4)
+                raise TypeError(
+                    "feature_loss: mixed packed/unpacked fmap pair "
+                    f"(real {type(rl).__name__}, generated {type(gl).__name__})"
+                )
             s = 1.0
             if isinstance(rl, tuple):
-                rl, s = rl
-            if isinstance(gl, tuple):
-                gl, _ = gl
+                (rl, s), (gl, sg) = rl, gl
+                if sg != s:
+                    raise ValueError(
+                        f"feature_loss: packed-fmap scale mismatch ({s} vs {sg})"
+                    )
             loss += s * jnp.mean(
                 jnp.abs(rl.astype(jnp.float32) - gl.astype(jnp.float32))
             )

@@ -134,22 +134,17 @@ def test_conv1d_packed_frames_matches_lax(rng, c, k, dilation, pack):
     np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-4)
 
 
-def test_parallel_block_packed_matches_unpacked(rng):
+def test_parallel_block_packed_matches_unpacked(rng, monkeypatch):
     """ParallelBlock auto-packing (C=32 -> pack 4) is numerically equivalent
     to the unpacked stack (same weights via identical param tree)."""
-    import os
-
     from distilcodec_nabeel_tpu.models.blocks import ParallelBlock
 
     x = jnp.asarray(rng.standard_normal((2, 64, 32)).astype(np.float32))
     mod = ParallelBlock(32)
     vs = mod.init(jax.random.PRNGKey(0), x)
     packed = mod.apply(vs, x)  # C=32 & T%4==0 -> packed path
-    os.environ["DISTILCODEC_PACK_RESBLOCKS"] = "0"
-    try:
-        ref = mod.apply(vs, x)
-    finally:
-        del os.environ["DISTILCODEC_PACK_RESBLOCKS"]
+    monkeypatch.setenv("DISTILCODEC_PACK_RESBLOCKS", "0")
+    ref = mod.apply(vs, x)
     np.testing.assert_allclose(packed, ref, rtol=1e-5, atol=1e-5)
     # odd length -> packing silently disabled, still correct shape
     x65 = jnp.asarray(rng.standard_normal((2, 65, 32)).astype(np.float32))
