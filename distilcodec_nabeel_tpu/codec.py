@@ -191,10 +191,18 @@ class DistilCodec:
         variables: dict | None = None,
         seed: int = 0,
         vq_search_mode: str | None = None,
+        pad_to_multiple: int | None = None,
     ):
         if isinstance(configs, dict):
             configs = CodecConfig.from_dict(configs)
         self.codec_config = configs
+        # serving-shape bucketing (see preprocess_raw_audio_batch /
+        # decode_from_codes): round one-shot batch widths up to a multiple of
+        # this many SAMPLES so a sweep of distinct input lengths hits a
+        # handful of compiled programs instead of one compile per length
+        # (cold compiles through the TPU tunnel cost minutes, DESIGN.md).
+        # May be flipped on/off at any time (host-side padding only).
+        self.pad_to_multiple = pad_to_multiple
         self.is_debug = is_debug
         self.ckpt_step = 0
         self.g_ckpt_path = ""
@@ -488,7 +496,20 @@ class DistilCodec:
             n_hop_lengths.append(nh)
             gen_lengths.append(gt)
 
-        batch = np.zeros((len(audio_list), max_length + 1), dtype=np.float32)
+        width = max_length + 1
+        if self.pad_to_multiple:
+            # serving bucketing: the batch keeps the reference's semantics
+            # (zero right-pad, tokens sliced to each item's true n_hop_len —
+            # exactly what padding to the batch max already does,
+            # distil_codec.py:119/:566-570) but the PROGRAM SHAPE is the
+            # bucket boundary, so 20 distinct lengths compile a handful of
+            # programs instead of 20.  Extra zero-pad beyond the batch max
+            # can flip a few TRAILING token ids (non-causal encoder sees
+            # log-mel-of-silence right-context) — measured profile in
+            # tests/test_pad_to_multiple.py and the README serving note.
+            m = int(self.pad_to_multiple)
+            width = -(-width // m) * m
+        batch = np.zeros((len(audio_list), width), dtype=np.float32)
         for i, audio in enumerate(audio_list):
             batch[i, 1 : 1 + audio_lengths[i]] = audio
         return batch, gen_lengths, n_hop_lengths
@@ -590,10 +611,26 @@ class DistilCodec:
             codes = [c - self.tokens_id_offset for c in codes]
         self._validate_codes(codes)
         arr = np.asarray(codes, dtype=np.int32).reshape(1, 1, -1, 1)
+        n_true = arr.shape[2]
+        if self.pad_to_multiple:
+            # bucket the decode program shape too: pad frames with code id 0
+            # (a REAL code — the reference's own batch-decode padding,
+            # distil_codec.py:620-630) and slice the waveform back to the
+            # true frame count.  The decoder's non-causal convs see the
+            # padded frames as right-context, so the last ~receptive-field
+            # samples differ slightly from the unbucketed decode (same
+            # trade the reference makes padding shorter batch items).
+            fm = max(1, int(self.pad_to_multiple) // (self.hop_size * self.ds_factor))
+            pad = (-n_true) % fm
+            if pad:
+                arr = np.concatenate(
+                    [arr, np.zeros((1, 1, pad, 1), np.int32)], axis=2
+                )
         wave = self._pick(enable_bfloat16, "decode_codes", 1)(
             self.variables, jnp.asarray(arr)
         )
-        return np.asarray(wave)[:, None, :]
+        wave = np.asarray(wave)[:, None, : n_true * self.hop_size * self.ds_factor]
+        return wave
 
     def decode_from_codes_batch(
         self,

@@ -331,9 +331,16 @@ class Trainer:
         sample G is optimized on.
         """
         tcfg = self.train_cfg
-        rng_fwd, rng_step = jax.random.split(rng)
+        rng_fwd, rng_expiry = jax.random.split(rng)
         wave_len = self._gen_len(audio.shape[-1])
         y = audio[:, :wave_len]
+        # codebook_expiry: consumed only when quantizer.threshold_ema_dead_code
+        # > 0 (dead-code resampling from the batch — the standard EMA-VQ
+        # anti-collapse tool, vector_quantize_pytorch.py:441-460; unused rngs
+        # are free in flax).  From-scratch training NEEDS it: the r5 flagship
+        # overfit run collapsed to 1/32768 codes by step ~100 without it
+        # (DESIGN.md "r5: training that learns").
+        fwd_rngs = {"droppath": rng_fwd, "codebook_expiry": rng_expiry}
 
         # -------------- ONE generator forward (EMA codebook transition here)
         def gen_fwd(gen_params):
@@ -341,7 +348,7 @@ class Trainer:
                 gen_params,
                 state.codebook,
                 audio,
-                {"droppath": rng_fwd},
+                fwd_rngs,
                 update_ema=True,
             )
             diff = (

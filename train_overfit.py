@@ -105,6 +105,16 @@ def main():
     ap.add_argument("--out", default="generated/overfit")
     ap.add_argument("--seed", type=int, default=1234)
     ap.add_argument(
+        "--dead-code-threshold",
+        type=float,
+        default=2.0,
+        help="quantizer threshold_ema_dead_code: EMA clusters below this mass "
+        "are resampled from the batch each step (the standard EMA-VQ "
+        "anti-collapse tool, vector_quantize_pytorch.py:441-460).  The first "
+        "r5 run WITHOUT it collapsed to 1/32768 codes by step ~100 and went "
+        "NaN by step ~230; from-scratch training needs it.  0 disables.",
+    )
+    ap.add_argument(
         "--tiny",
         action="store_true",
         help="small config + short segment: CPU smoke test of the script "
@@ -136,13 +146,14 @@ def main():
     t_start = time.perf_counter()
 
     if args.tiny:
-        codec_cfg = CodecConfig.from_dict(_tiny_config())
+        raw_cfg = _tiny_config()
         segment = 8192
     else:
-        codec_cfg = CodecConfig.from_dict(
-            load_json("/root/reference/configs/model_config.json")
-        )
+        raw_cfg = load_json("/root/reference/configs/model_config.json")
         segment = SEGMENT
+    if args.dead_code_threshold > 0:
+        raw_cfg["quantizer"]["threshold_ema_dead_code"] = args.dead_code_threshold
+    codec_cfg = CodecConfig.from_dict(raw_cfg)
     train_cfg = TrainConfig.from_dict(
         load_json("/root/reference/configs/train_config.json")
     )
