@@ -33,6 +33,18 @@ def setup(coordinator_address: str | None = None) -> None:
             kwargs["num_processes"] = int(os.environ["WORLD_SIZE"])
         if os.environ.get("RANK"):
             kwargs["process_id"] = int(os.environ["RANK"])
+    # CPU multi-process clusters (tests / dev boxes) need an explicit
+    # cross-process collectives backend — XLA:CPU's default is none and every
+    # psum would hang.  TPU/GPU ignore this flag.  Must be set before
+    # initialize(); executed-coverage: tests/test_multiprocess.py.
+    if (
+        os.environ.get("JAX_PLATFORMS", "").startswith("cpu")
+        or os.environ.get("DISTILCODEC_PLATFORM") == "cpu"
+    ):
+        try:
+            jax.config.update("jax_cpu_collectives_implementation", "gloo")
+        except Exception:
+            pass  # older jax without the option: single-process only
     jax.distributed.initialize(**kwargs)
     print(
         f"[{os.getpid()}] jax.distributed initialized: "
