@@ -182,6 +182,11 @@ class Trainer:
     # search + EMA transition, the returned waveform, and every loss stay
     # fp32 (DistilCodecModule compute_dtype semantics).
     gen_dtype: str | None = None
+    # add debug/* gradient- and update-health metrics (per-family absmax of
+    # grads, y_hat absmax, post-update param absmax) to the step's metrics —
+    # the tool that localized the r5 step-37 NaN (DESIGN.md "r5: training
+    # that learns").  Costs a few reduces; off in production.
+    debug_metrics: bool = False
     # measured-NEGATIVE option, default off: jax.checkpoint around the
     # discriminator forwards made peak memory WORSE (18.1 -> 42.2 GB at
     # batch 19x72000) — it defeats XLA's own auto-remat-with-compression of
@@ -448,6 +453,27 @@ class Trainer:
         metrics.update(
             codebook_metrics(codes, self.codec_cfg.quantizer.codebook_size)
         )
+        if self.debug_metrics:
+
+            def _absmax(tree):
+                return jnp.max(
+                    jnp.stack(
+                        [
+                            jnp.max(jnp.abs(l.astype(jnp.float32)))
+                            for l in jax.tree_util.tree_leaves(tree)
+                        ]
+                    )
+                )
+
+            for k, sub in g_grads.items():
+                metrics[f"debug/ggrad/{k}"] = _absmax(sub)
+            for k, sub in d_grads.items():
+                metrics[f"debug/dgrad/{k}"] = _absmax(sub)
+            metrics["debug/y_hat"] = jnp.max(jnp.abs(y_hat))
+            metrics["debug/gen_params"] = _absmax(new_gen_params)
+            metrics["debug/disc_params"] = _absmax(new_disc_params)
+            metrics["debug/spectral"] = _absmax(new_spectral)
+            metrics["debug/codebook_embed"] = _absmax(new_codebook)
 
         new_state = CodecTrainState(
             step=state.step + 1,

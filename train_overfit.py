@@ -115,6 +115,25 @@ def main():
         "NaN by step ~230; from-scratch training needs it.  0 disables.",
     )
     ap.add_argument(
+        "--diversity-weight",
+        type=float,
+        default=0.0,
+        help="quantizer codebook_diversity_loss_weight override.  The "
+        "reference formula (replicated for parity) is softmax(+distance * "
+        "temperature) — mass on FAR codes — whose entropy is then "
+        "maximized; from scratch at flagship scale it drives encoder/"
+        "codebook norms into runaway (measured absmax 2.2e3 -> 5.1e3 over "
+        "7 steps, NaN soon after; generated/overfit_debug).  The reference "
+        "always trained from a distill teacher (train_config.json:46-51) "
+        "and never from scratch.  Default 0 = disabled for the learning "
+        "demonstration.",
+    )
+    ap.add_argument(
+        "--debug-grads",
+        action="store_true",
+        help="add per-family grad/param absmax debug metrics to every step",
+    )
+    ap.add_argument(
         "--tiny",
         action="store_true",
         help="small config + short segment: CPU smoke test of the script "
@@ -153,6 +172,7 @@ def main():
         segment = SEGMENT
     if args.dead_code_threshold > 0:
         raw_cfg["quantizer"]["threshold_ema_dead_code"] = args.dead_code_threshold
+    raw_cfg["quantizer"]["codebook_diversity_loss_weight"] = args.diversity_weight
     codec_cfg = CodecConfig.from_dict(raw_cfg)
     train_cfg = TrainConfig.from_dict(
         load_json("/root/reference/configs/train_config.json")
@@ -169,7 +189,12 @@ def main():
         msstft_freq_pack="chain",
         gen_remat=False,
     )
-    trainer = Trainer(codec_cfg, train_cfg, steps_per_epoch=1000)
+    trainer = Trainer(
+        codec_cfg,
+        train_cfg,
+        steps_per_epoch=1000,
+        debug_metrics=args.debug_grads,
+    )
 
     files = sorted(glob.glob("/root/reference/data/org_audios/*.wav"))
     assert len(files) >= 16, files
