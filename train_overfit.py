@@ -98,7 +98,13 @@ def _tiny_config() -> dict:
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--steps", type=int, default=2000)
+    ap.add_argument(
+        "--steps",
+        type=int,
+        default=2000,
+        help="GLOBAL step target (with --resume-from, training continues "
+        "from the checkpoint's step up to this)",
+    )
     ap.add_argument("--batch", type=int, default=16)
     ap.add_argument("--snapshot-every", type=int, default=250)
     ap.add_argument("--log-window", type=int, default=50)
@@ -127,6 +133,12 @@ def main():
         "always trained from a distill teacher (train_config.json:46-51) "
         "and never from scratch.  Default 0 = disabled for the learning "
         "demonstration.",
+    )
+    ap.add_argument(
+        "--resume-from",
+        default=None,
+        help="checkpoint dir of a previous run (its final orbax state) to "
+        "continue training from; step counter and lr schedule resume",
     )
     ap.add_argument(
         "--debug-grads",
@@ -215,6 +227,16 @@ def main():
     held_j = jnp.asarray(held)[None, :]
 
     state = trainer.init_state(jax.random.PRNGKey(args.seed), segment_len=segment)
+    step_offset = 0
+    if args.resume_from:
+        from distilcodec_nabeel_tpu.utils import checkpoint as ckpt_utils
+
+        restored = ckpt_utils.restore_train_state(args.resume_from, state)
+        if restored is None:
+            raise SystemExit(f"--resume-from {args.resume_from}: no state found")
+        state = restored
+        step_offset = int(state.step)
+        print(f"resumed from step {step_offset}", flush=True)
     n_params = sum(
         int(np.prod(l.shape)) for l in jax.tree_util.tree_leaves(state.gen_params)
     )
@@ -279,7 +301,7 @@ def main():
 
     metrics_path = os.path.join(args.out, "metrics.jsonl")
     rng_step = jax.random.fold_in(jax.random.PRNGKey(args.seed), 7)
-    step = 0
+    step = step_offset  # --steps is the GLOBAL step target (resume-aware)
     window: list = []  # [(step, device metric vec)]
     t_win = time.perf_counter()
 
@@ -329,6 +351,12 @@ def main():
         wave_f = np.asarray(wave_f, np.float32)[0]
     else:
         wave_f = snapshot(step, state)
+
+    from distilcodec_nabeel_tpu.utils import checkpoint as ckpt_utils
+
+    ckpt_utils.save_train_state(
+        os.path.join(args.out, "ckpt"), step, state, num_ckpt_keep=1
+    )
     save_wav(os.path.join(args.out, "final_recon.wav"), wave_f, SR)
 
     # first-vs-last training-metric aggregates
