@@ -340,6 +340,12 @@ def main():
             if step % args.snapshot_every == 0:
                 flush_window()
                 snapshot(step, state)
+            if step % 2000 == 0:
+                from distilcodec_nabeel_tpu.utils import checkpoint as _ck
+
+                _ck.save_train_state(
+                    os.path.join(args.out, "ckpt"), step, state, num_ckpt_keep=1
+                )
             if step >= args.steps:
                 done = True
                 break
