@@ -395,7 +395,14 @@ def main():
 
         def full(i, st, a):
             st2, metrics = trainer.train_step(st, pert(a, i), jax.random.PRNGKey(0))
-            return metrics["g_loss/total"]
+            # return the WHOLE new state: timed_ms's scan body sums every
+            # leaf, so nothing is DCE'd.  Returning only g_loss/total (the
+            # r1-r4 version) let XLA dead-code-eliminate the generator
+            # backward and BOTH optimizer updates — full_step readings
+            # before r5 under-measure the step (434 vs 659 ms at b16
+            # production recipe); bench_train.py (chained donated steps)
+            # was always the honest end-to-end number.
+            return st2, metrics["g_loss/total"]
 
         rec("full_step", timed_ms(full, (state, audio), k1, k2))
 
