@@ -37,14 +37,23 @@ def main():
     ap.add_argument("--chunk", type=int, default=32)
     ap.add_argument("--halos", default="24,16,8,4,2")
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument(
+        "--ckpt",
+        default=None,
+        help="reference-format g_* checkpoint: measure with TRAINED weights "
+        "(default random init)",
+    )
     args = ap.parse_args()
 
     from distilcodec_nabeel_tpu import DistilCodec
     from distilcodec_nabeel_tpu.streaming import StreamingDecoder
     from distilcodec_nabeel_tpu.utils.common import load_json
 
-    cfg = load_json("/root/reference/configs/model_config.json")
-    codec = DistilCodec(cfg)
+    cfg_path = "/root/reference/configs/model_config.json"
+    if args.ckpt:
+        codec = DistilCodec.from_pretrained(cfg_path, args.ckpt)
+    else:
+        codec = DistilCodec(load_json(cfg_path))
     K = codec.codec_config.quantizer.codebook_size
     hop = codec.hop_size * codec.ds_factor
     n_frames = int(args.seconds * SR / hop)
