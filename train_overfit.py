@@ -153,10 +153,13 @@ def main():
     )
     args = ap.parse_args()
     os.makedirs(args.out, exist_ok=True)
-    for stale in ("metrics.jsonl", "snapshots.jsonl"):
-        p = os.path.join(args.out, stale)
-        if os.path.exists(p):
-            os.remove(p)  # fresh run, fresh ledgers (files are append-mode)
+    if not args.resume_from:
+        # fresh run, fresh ledgers (files are append-mode); a resumed run
+        # APPENDS so the curve stays in one place
+        for stale in ("metrics.jsonl", "snapshots.jsonl"):
+            p = os.path.join(args.out, stale)
+            if os.path.exists(p):
+                os.remove(p)
 
     import jax
     import jax.numpy as jnp
@@ -296,8 +299,10 @@ def main():
         print("snapshot:", json.dumps(rec), flush=True)
         return wave
 
-    wave0 = snapshot(0, state)
-    save_wav(os.path.join(args.out, "step0_recon.wav"), wave0, SR)
+    wave0 = snapshot(step_offset, state)
+    save_wav(
+        os.path.join(args.out, f"step{step_offset}_recon.wav"), wave0, SR
+    )
 
     metrics_path = os.path.join(args.out, "metrics.jsonl")
     rng_step = jax.random.fold_in(jax.random.PRNGKey(args.seed), 7)
