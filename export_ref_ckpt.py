@@ -27,9 +27,17 @@ def main():
     trainer = Trainer(
         codec_cfg, TrainConfig.from_dict({"batch_size": 1}), steps_per_epoch=1000
     )
-    # abstract template only — no parameter compute
-    abstract = jax.eval_shape(
-        lambda: trainer.init_state(jax.random.PRNGKey(0), segment_len=8192)
+    # abstract template only — no parameter compute.  Orbax deserialization
+    # needs concrete shardings on the ShapeDtypeStructs.
+    dev = jax.devices()[0]
+    sharding = jax.sharding.SingleDeviceSharding(dev)
+    abstract = jax.tree_util.tree_map(
+        lambda s: jax.ShapeDtypeStruct(s.shape, s.dtype, sharding=sharding)
+        if hasattr(s, "shape")
+        else s,
+        jax.eval_shape(
+            lambda: trainer.init_state(jax.random.PRNGKey(0), segment_len=8192)
+        ),
     )
     state = ckpt_utils.restore_train_state(state_dir, abstract)
     if state is None:

@@ -363,12 +363,14 @@ def main():
     else:
         wave_f = snapshot(step, state)
 
+    save_wav(os.path.join(args.out, "final_recon.wav"), wave_f, SR)
+
     from distilcodec_nabeel_tpu.utils import checkpoint as ckpt_utils
 
-    ckpt_utils.save_train_state(
-        os.path.join(args.out, "ckpt"), step, state, num_ckpt_keep=1
-    )
-    save_wav(os.path.join(args.out, "final_recon.wav"), wave_f, SR)
+    if step % 2000 != 0:  # else the in-loop periodic save already wrote it
+        ckpt_utils.save_train_state(
+            os.path.join(args.out, "ckpt"), step, state, num_ckpt_keep=1
+        )
 
     # first-vs-last training-metric aggregates
     rows = [json.loads(l) for l in open(metrics_path)]
