@@ -128,6 +128,62 @@ def run_validation(
     return out
 
 
+def distill_init(
+    state: CodecTrainState,
+    trainer: Trainer,
+    codec_cfg: CodecConfig,
+    distill: dict,
+) -> CodecTrainState:
+    """DMS step 3 (reference README.md:44-53): the student inherits the
+    TEACHER's encoder/decoder parameters from a reference-format ``g_*``
+    checkpoint; the quantizer + codebook stay at the student's fresh init
+    unless ``quantizer_transfer`` is set (the shipped train_config.json:46-51
+    uses ``quantizer_transfer: false`` — the whole point of DMS is a fresh
+    single large codebook under an already-trained encoder/decoder).
+
+    The generator optimizer state is re-initialized for the inherited
+    params.  Returns ``state`` unchanged when the distill config is off or
+    the teacher checkpoint directory has no ``g_*`` file.
+    """
+    if not (distill.get("is_distill") and distill.get("teacher_ckpt_path")):
+        return state
+    teacher_path = ckpt_utils.scan_checkpoint(distill["teacher_ckpt_path"], "g_")
+    if not teacher_path:
+        return state
+    from ..utils.torch_import import (
+        convert_codec_checkpoint,
+        load_torch_checkpoint,
+    )
+
+    print_rank_0(f"Distill init from teacher: {teacher_path}")
+    transfer_q = bool(distill.get("quantizer_transfer"))
+    # quantizer conversion only when transferring: the teacher's quantizer
+    # architecture generally differs from the student's (DMS table,
+    # README.md:56-59) and must not be converted against the student cfg
+    teacher_vars = convert_codec_checkpoint(
+        load_torch_checkpoint(teacher_path),
+        codec_cfg,
+        include_quantizer=transfer_q,
+    )
+    gen_params = dict(state.gen_params)
+    for k in ("encoder", "generator"):
+        if k in teacher_vars["params"]:
+            gen_params[k] = jax.tree_util.tree_map(
+                jnp.asarray, teacher_vars["params"][k]
+            )
+    if transfer_q:
+        gen_params["quantizer"] = jax.tree_util.tree_map(
+            jnp.asarray, teacher_vars["params"]["quantizer"]
+        )
+        state = state.replace(
+            codebook=jax.tree_util.tree_map(jnp.asarray, teacher_vars["codebook"])
+        )
+    return state.replace(
+        gen_params=gen_params,
+        gen_opt_state=trainer.gen_tx.init(gen_params),
+    )
+
+
 def run_training(
     codec_cfg: CodecConfig,
     train_cfg: TrainConfig,
@@ -169,40 +225,7 @@ def run_training(
 
     # distillation init (train_config.json:46-51): student inherits teacher
     # encoder/decoder params from a reference-format checkpoint
-    distill = train_cfg.distill or {}
-    if distill.get("is_distill") and distill.get("teacher_ckpt_path"):
-        teacher_path = ckpt_utils.scan_checkpoint(
-            distill["teacher_ckpt_path"], "g_"
-        )
-        if teacher_path:
-            from ..utils.torch_import import (
-                convert_codec_checkpoint,
-                load_torch_checkpoint,
-            )
-
-            print_rank_0(f"Distill init from teacher: {teacher_path}")
-            teacher_vars = convert_codec_checkpoint(
-                load_torch_checkpoint(teacher_path), codec_cfg
-            )
-            gen_params = dict(state.gen_params)
-            for k in ("encoder", "generator"):
-                if k in teacher_vars["params"]:
-                    gen_params[k] = jax.tree_util.tree_map(
-                        jnp.asarray, teacher_vars["params"][k]
-                    )
-            if distill.get("quantizer_transfer"):
-                gen_params["quantizer"] = jax.tree_util.tree_map(
-                    jnp.asarray, teacher_vars["params"]["quantizer"]
-                )
-                state = state.replace(
-                    codebook=jax.tree_util.tree_map(
-                        jnp.asarray, teacher_vars["codebook"]
-                    )
-                )
-            state = state.replace(
-                gen_params=gen_params,
-                gen_opt_state=trainer.gen_tx.init(gen_params),
-            )
+    state = distill_init(state, trainer, codec_cfg, train_cfg.distill or {})
 
     # resume from newest orbax state if present
     save_path = train_cfg.save_path

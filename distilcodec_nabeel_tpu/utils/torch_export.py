@@ -125,7 +125,10 @@ def export_quantizer(params: dict, codebook: dict, cfg: QuantizerConfig) -> dict
         _emit_convtr(sd, f"upsample.{s}.0", params[f"upsample_{i}_conv"])
         _emit_block(sd, f"upsample.{s}.1", params[f"upsample_{i}_block"])
     for g in range(cfg.n_groups):
-        gp = params["grvq"][f"rvqs_{g}"]
+        # projection-free configs (codebook_dim == input_dim / n_groups) have
+        # NO grvq params at all — flax omits empty param subtrees; the
+        # codebook collection below always exists
+        gp = params.get("grvq", {}).get(f"rvqs_{g}", {})
         rp = f"grvq.rvqs.{g}"
         if "project_in" in gp:
             sd[f"{rp}.project_in.weight"] = _t(

@@ -190,17 +190,23 @@ def convert_quantizer(sd: StateDict, cfg: QuantizerConfig) -> tuple[dict, dict]:
     return params, codebook
 
 
-def convert_codec_checkpoint(ckpt: dict, cfg: CodecConfig) -> dict:
+def convert_codec_checkpoint(
+    ckpt: dict, cfg: CodecConfig, *, include_quantizer: bool = True
+) -> dict:
     """Full reference ``g_*`` checkpoint dict -> our variables tree:
-    ``{'params': {'encoder', 'quantizer', 'generator'}, 'codebook': ...}``."""
-    q_params, q_codebook = convert_quantizer(ckpt["quantizer"], cfg.quantizer)
-    variables = {
-        "params": {
-            "encoder": convert_encoder(ckpt["encoder"], cfg.encoder),
-            "quantizer": q_params,
-        },
-        "codebook": {"quantizer": q_codebook},
-    }
+    ``{'params': {'encoder', 'quantizer', 'generator'}, 'codebook': ...}``.
+
+    ``include_quantizer=False`` skips the quantizer/codebook conversion —
+    the DMS distill init (README.md:44-53, train_config.json:46-51
+    ``quantizer_transfer: false``) inherits only encoder/decoder from a
+    TEACHER whose quantizer architecture (e.g. 8-residual x 4-group x 1024)
+    does not match the student ``cfg`` and must not be converted against it.
+    """
+    variables = {"params": {"encoder": convert_encoder(ckpt["encoder"], cfg.encoder)}}
+    if include_quantizer:
+        q_params, q_codebook = convert_quantizer(ckpt["quantizer"], cfg.quantizer)
+        variables["params"]["quantizer"] = q_params
+        variables["codebook"] = {"quantizer": q_codebook}
     if "generator" in ckpt:
         variables["params"]["generator"] = convert_generator(
             ckpt["generator"], cfg.decoder

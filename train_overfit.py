@@ -141,6 +141,14 @@ def main():
         "continue training from; step counter and lr schedule resume",
     )
     ap.add_argument(
+        "--teacher-ckpt",
+        default=None,
+        help="directory holding a reference-format g_* checkpoint to DMS "
+        "distill-init from (README.md:44-53): the student inherits the "
+        "teacher's encoder/decoder, the quantizer/codebook start fresh "
+        "(train_config.json:46-51 quantizer_transfer: false)",
+    )
+    ap.add_argument(
         "--debug-grads",
         action="store_true",
         help="add per-family grad/param absmax debug metrics to every step",
@@ -231,6 +239,19 @@ def main():
 
     state = trainer.init_state(jax.random.PRNGKey(args.seed), segment_len=segment)
     step_offset = 0
+    if args.teacher_ckpt:
+        from distilcodec_nabeel_tpu.training.loop import distill_init
+
+        state = distill_init(
+            state,
+            trainer,
+            codec_cfg,
+            {
+                "is_distill": True,
+                "quantizer_transfer": False,
+                "teacher_ckpt_path": args.teacher_ckpt,
+            },
+        )
     if args.resume_from:
         from distilcodec_nabeel_tpu.utils import checkpoint as ckpt_utils
 
